@@ -1,0 +1,139 @@
+"""Model state pytrees.
+
+TPU-native replacement for the reference's per-element data model
+(``core/src/include/{PrognosticData,ExternalData}.hpp``,
+``physics/src/include/PhysicsData.hpp``, ``core/src/include/ElementData.hpp``):
+instead of a ``std::vector<ElementData>`` of heap objects (AoS), state is a
+structure-of-arrays pytree — one ``jnp`` array per field over the whole grid —
+so the per-element physics becomes batched vector arithmetic on the VPU and
+the per-element "loop" disappears into XLA.
+
+Array layout: 2-D fields are ``(nx, ny)`` matching the restart-file dims
+(``DevGridIO.cpp:169-201``); layered fields are ``(nlayers, nx, ny)`` with the
+small layer dim leading so the big spatial dims map onto TPU (sublane, lane).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree(cls):
+    """Register a frozen dataclass as a JAX pytree (all fields are leaves)."""
+    return jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f.name for f in dataclasses.fields(cls)],
+        meta_fields=[],
+    )
+
+
+@_pytree
+@dataclass(frozen=True)
+class PrognosticState:
+    """Fields carried across timesteps (cf. ``PrognosticData.hpp:89-96``).
+
+    ``hice`` and ``hsnow`` are *effective* (cell-mean) thicknesses; the
+    per-ice-area "true" thicknesses are derived (``PrognosticData.hpp:56,75``).
+    """
+
+    hice: jax.Array  #: effective ice thickness [m], (nx, ny)
+    cice: jax.Array  #: ice concentration [1], (nx, ny)
+    hsnow: jax.Array  #: effective snow thickness [m], (nx, ny)
+    sst: jax.Array  #: sea surface temperature [degC], (nx, ny)
+    sss: jax.Array  #: sea surface salinity [psu], (nx, ny)
+    tice: jax.Array  #: ice temperatures [degC], (nlayers, nx, ny)
+
+    @property
+    def n_ice_layers(self) -> int:
+        return self.tice.shape[0]
+
+    @property
+    def shape(self):
+        return self.hice.shape
+
+    def ice_true_thickness(self) -> jax.Array:
+        """True ice thickness: hice/cice, zero where there is no ice."""
+        return safe_div(self.hice, self.cice)
+
+    def snow_true_thickness(self) -> jax.Array:
+        """True snow thickness over the ice-covered fraction."""
+        return safe_div(self.hsnow, self.cice)
+
+
+@_pytree
+@dataclass(frozen=True)
+class Forcing:
+    """External forcing per element (cf. ``ExternalData.hpp:22-76``).
+
+    ``wind`` is the 10 m wind speed, which the reference keeps in
+    ``PhysicsData::windSpeed`` but which is an external input.
+    """
+
+    tair: jax.Array  #: 2 m air temperature [degC]
+    dew2m: jax.Array  #: 2 m dew point temperature [degC]
+    pair: jax.Array  #: sea level air pressure [Pa]
+    sw_in: jax.Array  #: incoming shortwave flux [W m-2]
+    lw_in: jax.Array  #: incoming longwave flux [W m-2]
+    mld: jax.Array  #: ocean mixed layer depth [m]
+    snowfall: jax.Array  #: snowfall rate [kg m-2 s-1]
+    wind: jax.Array  #: wind speed [m s-1]
+
+    def mixed_layer_bulk_heat_capacity(self) -> jax.Array:
+        """Areal mixed-layer heat capacity mld*rho_ocean*cp [J K-1 m-2]."""
+        from .constants import Water
+
+        return self.mld * Water.rho_ocean * Water.cp
+
+
+@_pytree
+@dataclass(frozen=True)
+class PhysicsDiagnostics:
+    """Per-step physics fluxes and rates (cf. ``NextsimPhysics.hpp`` members).
+
+    Pure outputs of one physics step, returned for coupling/diagnostics; only
+    ``new_ice`` is carried across steps (the reference keeps ``m_newice`` as
+    persistent per-element state that is only overwritten in the freezing
+    branch, ``NextsimPhysics.cpp:244-253``).
+    """
+
+    evap: jax.Array  #: open-water evaporation rate [kg m-2 s-1]
+    subl: jax.Array  #: sublimation rate [kg m-2 s-1]
+    q_ow: jax.Array  #: net open-water heat flux [W m-2]
+    q_ia: jax.Array  #: net ice-atmosphere heat flux [W m-2]
+    q_io: jax.Array  #: ice-ocean heat flux [W m-2]
+    dq_dt: jax.Array  #: d(q_ia)/d(T_surf) [W m-2 K-1]
+    drag_pressure: jax.Array  #: wind drag pressure [Pa]
+    new_ice: jax.Array  #: new-ice volume formed from supercooling [m]
+    h_ice_from_snow: jax.Array  #: ice formed by flooded snow [m]
+
+
+def safe_div(num: jax.Array, den: jax.Array) -> jax.Array:
+    """num/den where den != 0, else 0 — grad-safe masked division."""
+    nonzero = den != 0
+    den_safe = jnp.where(nonzero, den, 1.0)
+    return jnp.where(nonzero, num / den_safe, 0.0)
+
+
+def zeros_prognostic(nx: int, ny: int, nlayers: int = 1, dtype=jnp.float64) -> PrognosticState:
+    """An all-zero prognostic state of the given grid size."""
+    f2 = jnp.zeros((nx, ny), dtype=dtype)
+    return PrognosticState(
+        hice=f2, cice=f2, hsnow=f2, sst=f2, sss=f2,
+        tice=jnp.zeros((nlayers, nx, ny), dtype=dtype),
+    )
+
+
+def dummy_forcing(nx: int, ny: int, dtype=jnp.float64) -> Forcing:
+    """The reference's constant placeholder forcing
+    (``DummyExternalData.hpp:22-34``): Tair=-1 C, dew=-4 C, P=1e5 Pa,
+    SW=0 (night), LW=311 W m-2, MLD=10 m, no snowfall, calm wind."""
+    full = lambda v: jnp.full((nx, ny), v, dtype=dtype)
+    return Forcing(
+        tair=full(-1.0), dew2m=full(-4.0), pair=full(1e5),
+        sw_in=full(0.0), lw_in=full(311.0), mld=full(10.0),
+        snowfall=full(0.0), wind=full(0.0),
+    )
