@@ -1,0 +1,249 @@
+"""mEVP (modified elastic-viscous-plastic) momentum and rheology solver.
+
+North-star capability (BASELINE.json: "mEVP-subcycled momentum/rheology
+solver (CG velocity nodes, strain-rate/stress tensor updates)"). The
+reference snapshot contains no dynamics; this follows the standard mEVP
+formulation (Bouillon et al. 2013; Kimmritz et al. 2015/2016) used by
+neXtSIM_DG's dynamical core:
+
+* velocity (u, v) on CG1 nodes (nx+1, ny+1);
+* stress (s11, s22, s12) and strain rates per element (element-wise constant
+  this round; higher-order stress is a later extension);
+* per subcycle: strain rates from bilinear velocity gradients -> VP stress
+  with ellipse ratio e and replacement pressure -> alpha-relaxation of the
+  stress -> weak-form stress divergence assembled to nodes -> beta-relaxed
+  velocity update with semi-implicit ocean drag and explicit Coriolis;
+* Dirichlet (no-slip) boundary + land mask on nodes.
+
+TPU mapping: each subcycle is ~15 elementwise passes over (nx, ny)-sized
+arrays plus 2x2 corner gathers — pure VPU/HBM work that XLA fuses; the
+subcycle loop is a ``lax.fori_loop`` living entirely on device. The fused
+Pallas kernel (dynamics/kernels) keeps the whole subcycle state in VMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .mesh import RectMesh
+
+
+def _pytree(cls):
+    return jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f.name for f in dataclasses.fields(cls)],
+        meta_fields=[],
+    )
+
+
+@dataclass(frozen=True)
+class MEVPParams:
+    """Physical + numerical parameters (VP rheology and mEVP relaxation)."""
+
+    rho_ice: float = 917.0  #: ice density [kg m-3]
+    rho_atm: float = 1.225  #: air density [kg m-3]
+    rho_ocean: float = 1026.0  #: ocean water density [kg m-3]
+    cd_atm: float = 1.2e-3  #: air drag coefficient
+    cd_ocean: float = 5.5e-3  #: water drag coefficient
+    p_star: float = 27500.0  #: ice strength [N m-2]
+    ellipse: float = 2.0  #: ellipse aspect ratio e
+    c_compaction: float = 20.0  #: strength compaction constant C
+    delta_min: float = 2e-9  #: minimum Delta [s-1]
+    alpha: float = 1500.0  #: mEVP stress relaxation
+    beta: float = 1500.0  #: mEVP velocity relaxation
+    f_coriolis: float = 1.46e-4  #: Coriolis parameter [s-1]
+    use_coriolis: bool = True
+    min_ice_mass: float = 1.0  #: [kg m-2] below which nodes are held at rest
+
+
+@_pytree
+@dataclass(frozen=True)
+class VelocityState:
+    """Dynamics state: CG1 velocity + element stresses."""
+
+    u: jax.Array  #: x velocity at nodes (nx+1, ny+1) [m s-1]
+    v: jax.Array  #: y velocity at nodes (nx+1, ny+1)
+    s11: jax.Array  #: stress components per element (nx, ny) [N m-1... Pa m]
+    s22: jax.Array
+    s12: jax.Array
+
+    @classmethod
+    def zeros(cls, nx: int, ny: int, dtype=jnp.float32) -> "VelocityState":
+        nodes = jnp.zeros((nx + 1, ny + 1), dtype=dtype)
+        cells = jnp.zeros((nx, ny), dtype=dtype)
+        return cls(u=nodes, v=nodes, s11=cells, s22=cells, s12=cells)
+
+
+@_pytree
+@dataclass(frozen=True)
+class DynamicsForcing:
+    """Wind and ocean-current forcing at CG nodes (nx+1, ny+1)."""
+
+    u_atm: jax.Array
+    v_atm: jax.Array
+    u_ocean: jax.Array
+    v_ocean: jax.Array
+
+    @classmethod
+    def zeros(cls, nx: int, ny: int, dtype=jnp.float32) -> "DynamicsForcing":
+        nodes = jnp.zeros((nx + 1, ny + 1), dtype=dtype)
+        return cls(u_atm=nodes, v_atm=nodes, u_ocean=nodes, v_ocean=nodes)
+
+
+def cell_to_node(cell):
+    """Average element values to nodes (boundary nodes use available cells).
+
+    Equivalent to lumped-mass CG1 projection: node value = sum of adjacent
+    cell contributions / number of adjacent cells.
+    """
+    padded = jnp.pad(cell, 1, mode="edge")
+    return 0.25 * (
+        padded[:-1, :-1] + padded[1:, :-1] + padded[:-1, 1:] + padded[1:, 1:]
+    )
+
+
+class MEVPSolver:
+    def __init__(self, mesh: RectMesh, params: MEVPParams = MEVPParams()) -> None:
+        self.mesh = mesh
+        self.params = params
+
+    # -- per-element strain rates from CG1 velocity --------------------------
+    def strain_rates(self, u, v):
+        """(e11, e22, e12) at element centers from bilinear gradients."""
+        dx, dy = self.mesh.dx, self.mesh.dy
+        du_dx = 0.5 * ((u[1:, :-1] - u[:-1, :-1]) + (u[1:, 1:] - u[:-1, 1:])) / dx
+        dv_dy = 0.5 * ((v[:-1, 1:] - v[:-1, :-1]) + (v[1:, 1:] - v[1:, :-1])) / dy
+        du_dy = 0.5 * ((u[:-1, 1:] - u[:-1, :-1]) + (u[1:, 1:] - u[1:, :-1])) / dy
+        dv_dx = 0.5 * ((v[1:, :-1] - v[:-1, :-1]) + (v[1:, 1:] - v[:-1, 1:])) / dx
+        return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
+
+    # -- weak-form divergence of element-constant stress to nodes ------------
+    def stress_divergence(self, s11, s22, s12):
+        """Nodal forces (Fu, Fv) = -int sigma : grad(phi), per unit length.
+
+        For bilinear phi on a rectangle, int_E dphi/dx dA = +-dy/2 (sign by
+        which side of E the node is on) and int_E dphi/dy dA = +-dx/2, so
+        assembly is a signed 2x2 corner scatter.
+        """
+        dx, dy = self.mesh.dx, self.mesh.dy
+
+        def scatter_x(cell):
+            # d(phi)/dx weight: -1 for nodes on the left side of the element,
+            # +1 on the right; scaled by dy/2.
+            p = jnp.pad(cell, 1)
+            return 0.5 * dy * (
+                (p[:-1, :-1] + p[:-1, 1:])  # elements left of node: +
+                - (p[1:, :-1] + p[1:, 1:])  # elements right of node: -
+            )
+
+        def scatter_y(cell):
+            p = jnp.pad(cell, 1)
+            return 0.5 * dx * (
+                (p[:-1, :-1] + p[1:, :-1]) - (p[:-1, 1:] + p[1:, 1:])
+            )
+
+        fu = scatter_x(s11) + scatter_y(s12)
+        fv = scatter_x(s12) + scatter_y(s22)
+        return fu, fv
+
+    # -- one outer timestep: N mEVP subcycles --------------------------------
+    @partial(jax.jit, static_argnames=("self", "n_subcycles"))
+    def step(
+        self,
+        state: VelocityState,
+        h,  # effective ice thickness per element (nx, ny)
+        a,  # ice concentration per element (nx, ny)
+        forcing: DynamicsForcing,
+        mask,  # 1.0 on active ocean nodes, 0.0 on land/boundary (nx+1, ny+1)
+        dt: float,
+        n_subcycles: int = 100,
+    ) -> VelocityState:
+        p = self.params
+        dtype = state.u.dtype
+        e2 = p.ellipse * p.ellipse
+
+        # Element ice strength P = P* h exp(-C (1-A)).
+        strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
+
+        # Lumped nodal ice mass per unit area [kg m-2], clamped for stability.
+        m_node = p.rho_ice * cell_to_node(h)
+        ice_node = m_node > p.min_ice_mass
+        m_safe = jnp.maximum(m_node, p.min_ice_mass)
+
+        # Wind stress is constant over the subcycles (atmosphere does not
+        # feel the ice velocity at these scales).
+        tau_au = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.u_atm
+        tau_av = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.v_atm
+
+        u_n, v_n = state.u, state.v
+        alpha, beta = p.alpha, p.beta
+
+        def subcycle(_, carry):
+            u, v, s11, s22, s12 = carry
+
+            # 1. strain rates and Delta.
+            e11, e22, e12 = self.strain_rates(u, v)
+            delta = jnp.sqrt(
+                (e11 * e11 + e22 * e22) * (1.0 + 1.0 / e2)
+                + 2.0 * e11 * e22 * (1.0 - 1.0 / e2)
+                + 4.0 / e2 * e12 * e12
+            )
+            # Replacement pressure: P Delta/(Delta+Delta_min).
+            denom = delta + p.delta_min
+            zeta = 0.5 * strength / denom
+            eta = zeta / e2
+            p_rep = strength * delta / denom
+
+            # 2. VP stress and mEVP alpha-relaxation.
+            div = e11 + e22
+            s11_vp = 2.0 * eta * e11 + (zeta - eta) * div - 0.5 * p_rep
+            s22_vp = 2.0 * eta * e22 + (zeta - eta) * div - 0.5 * p_rep
+            s12_vp = 2.0 * eta * e12
+            s11 = s11 + (s11_vp - s11) / alpha
+            s22 = s22 + (s22_vp - s22) / alpha
+            s12 = s12 + (s12_vp - s12) / alpha
+
+            # 3. stress divergence -> nodal force per unit area.
+            fu, fv = self.stress_divergence(s11, s22, s12)
+            area = self.mesh.dx * self.mesh.dy
+            fu = fu / area
+            fv = fv / area
+
+            # 4. beta-relaxed velocity update, semi-implicit ocean drag.
+            rel_u = forcing.u_ocean - u
+            rel_v = forcing.v_ocean - v
+            c_w = p.rho_ocean * p.cd_ocean * jnp.hypot(rel_u, rel_v)
+            cor_u = p.f_coriolis * (v - forcing.v_ocean) if p.use_coriolis else 0.0
+            cor_v = -p.f_coriolis * (u - forcing.u_ocean) if p.use_coriolis else 0.0
+
+            dt_m = dt / m_safe
+            u_new = (
+                beta * u + u_n + dt_m * (fu + tau_au + c_w * forcing.u_ocean)
+                + dt * cor_u
+            ) / (1.0 + beta + dt_m * c_w)
+            v_new = (
+                beta * v + v_n + dt_m * (fv + tau_av + c_w * forcing.v_ocean)
+                + dt * cor_v
+            ) / (1.0 + beta + dt_m * c_w)
+
+            # 5. Dirichlet mask: land and ice-free nodes stay at rest.
+            active = mask * ice_node.astype(dtype)
+            u_new = u_new * active
+            v_new = v_new * active
+            return (u_new, v_new, s11, s22, s12)
+
+        u, v, s11, s22, s12 = jax.lax.fori_loop(
+            0, n_subcycles, subcycle, (state.u, state.v, state.s11, state.s22, state.s12)
+        )
+        return VelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)
+
+    def boundary_mask(self, dtype=jnp.float32):
+        """1 on interior nodes, 0 on the domain boundary (no-slip walls)."""
+        nx, ny = self.mesh.nx, self.mesh.ny
+        mask = jnp.zeros((nx + 1, ny + 1), dtype=dtype)
+        return mask.at[1:-1, 1:-1].set(1.0)

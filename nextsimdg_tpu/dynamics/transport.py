@@ -1,0 +1,222 @@
+"""Discontinuous-Galerkin tracer transport.
+
+Solves d(psi)/dt + div(v psi) = 0 per tracer with dG0/dG1/dG2 elements and
+upwind edge fluxes, SSP-RK time stepping (north-star capability; cf.
+BASELINE.json "DG transport ... upwind edge-flux integrals over element
+faces").
+
+TPU-first formulation: tracer coefficients live in ``(K, nx, ny)`` arrays;
+the semi-discrete RHS is
+
+    dpsi_k/dt = M_k^-1 [ V_k  -  E_k ]
+    V_k = sum_q w_q [ (vx_q/dx) dphi_k/dxi + (vy_q/dy) dphi_k/deta ] psi(x_q)
+    E_k = (1/dx) (phi_k|_{x=1} . G_{i+1/2} - phi_k|_{x=0} . G_{i-1/2}) + (y)
+
+with ``G`` the upwinded normal-flux integrals on shared faces. Everything is
+a contraction over the tiny dof/quad dims (<= 6 x 9) batched over the grid —
+pure VPU elementwise work plus one-element neighbor shifts, which XLA fuses;
+the diagonal mass matrix avoids any per-element solve.
+
+Velocities enter pre-sampled at quadrature points (``QuadVelocity``), so the
+same operator serves analytic benchmark velocities and the CG velocity of
+the mEVP solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dgbasis import DGBasis, dg_basis
+from .mesh import RectMesh
+
+
+def _pytree(cls):
+    return jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f.name for f in dataclasses.fields(cls)],
+        meta_fields=[],
+    )
+
+
+@_pytree
+@dataclass(frozen=True)
+class QuadVelocity:
+    """Velocity sampled at DG quadrature points.
+
+    vx_vol/vy_vol: (NQ, nx, ny) at volume points;
+    vn_x: (NE, nx+1, ny) normal (+x) velocity at vertical edges;
+    vn_y: (NE, nx, ny+1) normal (+y) velocity at horizontal edges.
+    """
+
+    vx_vol: jax.Array
+    vy_vol: jax.Array
+    vn_x: jax.Array
+    vn_y: jax.Array
+
+
+def sample_velocity(mesh: RectMesh, basis: DGBasis, fn: Callable, dtype=jnp.float32) -> QuadVelocity:
+    """Sample an analytic velocity fn(x, y) -> (vx, vy) at quadrature points."""
+    xv, yv = mesh.volume_quad_coords(basis.xq_vol, basis.yq_vol)
+    vx_vol, vy_vol = fn(xv, yv)
+    xe, ye = mesh.edge_x_coords(basis.s_edge)
+    vnx, _ = fn(xe, ye)
+    xh, yh = mesh.edge_y_coords(basis.s_edge)
+    _, vny = fn(xh, yh)
+    as_a = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+    return QuadVelocity(
+        vx_vol=as_a(vx_vol),
+        vy_vol=as_a(vy_vol),
+        vn_x=as_a(np.moveaxis(vnx, 2, 0)),
+        vn_y=as_a(np.moveaxis(vny, 2, 0)),
+    )
+
+
+def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v) -> QuadVelocity:
+    """Sample a CG1 nodal velocity (u, v each (nx+1, ny+1)) at quad points.
+
+    Bilinear interpolation within each element; on shared faces the CG field
+    is single-valued, so edge normal velocities are well defined.
+    """
+    xi = jnp.asarray(basis.xq_vol)[:, None, None]
+    eta = jnp.asarray(basis.yq_vol)[:, None, None]
+    s = jnp.asarray(basis.s_edge)
+
+    def bilinear(f, xi, eta):
+        f00 = f[:-1, :-1][None]
+        f10 = f[1:, :-1][None]
+        f01 = f[:-1, 1:][None]
+        f11 = f[1:, 1:][None]
+        return (
+            f00 * (1 - xi) * (1 - eta)
+            + f10 * xi * (1 - eta)
+            + f01 * (1 - xi) * eta
+            + f11 * xi * eta
+        )
+
+    vx_vol = bilinear(u, xi, eta)
+    vy_vol = bilinear(v, xi, eta)
+    # Vertical edges x=const: linear in y between the two nodes of the edge.
+    se = s[:, None, None]
+    vn_x = u[:, :-1][None] * (1 - se) + u[:, 1:][None] * se  # (NE, nx+1, ny)
+    vn_y = v[:-1, :][None] * (1 - se) + v[1:, :][None] * se  # (NE, nx, ny+1)
+    return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
+
+
+class DGTransport:
+    """The transport operator for one mesh + DG degree + time scheme."""
+
+    def __init__(self, mesh: RectMesh, degree: int = 1, scheme: str = None) -> None:
+        self.mesh = mesh
+        self.basis = dg_basis(degree)
+        #: SSP-RK order matched to spatial order by default (nextsimdg-style).
+        self.scheme = scheme or {0: "rk1", 1: "rk2", 2: "rk3"}[degree]
+        b = self.basis
+        # Constant tables, closed over as compile-time constants.
+        self._w_vol = jnp.asarray(b.w_vol)
+        self._psi_vol = jnp.asarray(b.psi_vol)
+        self._gx_vol = jnp.asarray(b.dpsi_dx_vol)
+        self._gy_vol = jnp.asarray(b.dpsi_dy_vol)
+        self._w_edge = jnp.asarray(b.w_edge)
+        self._psi_x0 = jnp.asarray(b.psi_x0)
+        self._psi_x1 = jnp.asarray(b.psi_x1)
+        self._psi_y0 = jnp.asarray(b.psi_y0)
+        self._psi_y1 = jnp.asarray(b.psi_y1)
+        self._inv_mass = jnp.asarray(b.inv_mass_diag)
+
+    # -- semi-discrete RHS ---------------------------------------------------
+    def rhs(self, psi, vel: QuadVelocity):
+        """d(psi)/dt for coefficients psi (K, nx, ny)."""
+        mesh = self.mesh
+        dtype = psi.dtype
+
+        # Volume term.
+        psi_q = jnp.einsum("kq,kxy->qxy", self._psi_vol.astype(dtype), psi)
+        gx = jnp.einsum(
+            "q,kq,qxy->kxy", self._w_vol.astype(dtype), self._gx_vol.astype(dtype),
+            vel.vx_vol * psi_q,
+        ) / mesh.dx
+        gy = jnp.einsum(
+            "q,kq,qxy->kxy", self._w_vol.astype(dtype), self._gy_vol.astype(dtype),
+            vel.vy_vol * psi_q,
+        ) / mesh.dy
+        volume = gx + gy
+
+        # Upwind edge fluxes, x-direction.
+        tr_x1 = jnp.einsum("kq,kxy->qxy", self._psi_x1.astype(dtype), psi)  # right face
+        tr_x0 = jnp.einsum("kq,kxy->qxy", self._psi_x0.astype(dtype), psi)  # left face
+        if mesh.periodic_x:
+            left_of_edge = jnp.concatenate([tr_x1[:, -1:, :], tr_x1], axis=1)
+            right_of_edge = jnp.concatenate([tr_x0, tr_x0[:, :1, :]], axis=1)
+        else:
+            zero = jnp.zeros_like(tr_x1[:, :1, :])
+            left_of_edge = jnp.concatenate([zero, tr_x1], axis=1)
+            right_of_edge = jnp.concatenate([tr_x0, zero], axis=1)
+        upwinded = jnp.where(vel.vn_x >= 0, left_of_edge, right_of_edge)
+        g_x = self._w_edge.astype(dtype)[:, None, None] * vel.vn_x * upwinded
+        edge_x = (
+            jnp.einsum("kq,qxy->kxy", self._psi_x1.astype(dtype), g_x[:, 1:, :])
+            - jnp.einsum("kq,qxy->kxy", self._psi_x0.astype(dtype), g_x[:, :-1, :])
+        ) / mesh.dx
+
+        # Upwind edge fluxes, y-direction.
+        tr_y1 = jnp.einsum("kq,kxy->qxy", self._psi_y1.astype(dtype), psi)  # top face
+        tr_y0 = jnp.einsum("kq,kxy->qxy", self._psi_y0.astype(dtype), psi)  # bottom
+        if mesh.periodic_y:
+            below = jnp.concatenate([tr_y1[:, :, -1:], tr_y1], axis=2)
+            above = jnp.concatenate([tr_y0, tr_y0[:, :, :1]], axis=2)
+        else:
+            zero = jnp.zeros_like(tr_y1[:, :, :1])
+            below = jnp.concatenate([zero, tr_y1], axis=2)
+            above = jnp.concatenate([tr_y0, zero], axis=2)
+        upwinded_y = jnp.where(vel.vn_y >= 0, below, above)
+        g_y = self._w_edge.astype(dtype)[:, None, None] * vel.vn_y * upwinded_y
+        edge_y = (
+            jnp.einsum("kq,qxy->kxy", self._psi_y1.astype(dtype), g_y[:, :, 1:])
+            - jnp.einsum("kq,qxy->kxy", self._psi_y0.astype(dtype), g_y[:, :, :-1])
+        ) / mesh.dy
+
+        return self._inv_mass.astype(dtype)[:, None, None] * (volume - edge_x - edge_y)
+
+    # -- SSP-RK time stepping ------------------------------------------------
+    def step(self, psi, vel: QuadVelocity, dt):
+        """One SSP-RK step of the registered order."""
+        if self.scheme == "rk1":
+            return psi + dt * self.rhs(psi, vel)
+        if self.scheme == "rk2":
+            psi1 = psi + dt * self.rhs(psi, vel)
+            return 0.5 * psi + 0.5 * (psi1 + dt * self.rhs(psi1, vel))
+        if self.scheme == "rk3":
+            psi1 = psi + dt * self.rhs(psi, vel)
+            psi2 = 0.75 * psi + 0.25 * (psi1 + dt * self.rhs(psi1, vel))
+            return psi / 3.0 + 2.0 / 3.0 * (psi2 + dt * self.rhs(psi2, vel))
+        raise ValueError(f"unknown scheme {self.scheme}")
+
+    @partial(jax.jit, static_argnames=("self", "n_steps"))
+    def run(self, psi, vel: QuadVelocity, dt, n_steps: int):
+        """n_steps on device via lax.scan."""
+
+        def body(p, _):
+            return self.step(p, vel, dt), None
+
+        out, _ = jax.lax.scan(body, psi, None, length=n_steps)
+        return out
+
+    # -- setup helpers -------------------------------------------------------
+    def project(self, fn, dtype=jnp.float32):
+        """L2-project an analytic field onto DG coefficients (K, nx, ny)."""
+        coeffs = self.basis.project(
+            fn, dx=self.mesh.dx, dy=self.mesh.dy, x0=self.mesh.x0, y0=self.mesh.y0,
+            nx=self.mesh.nx, ny=self.mesh.ny,
+        )
+        return jnp.asarray(coeffs, dtype=dtype)
+
+    def total_mass(self, psi):
+        """Integral of the tracer over the domain (cell means x areas)."""
+        return jnp.sum(psi[0]) * self.mesh.dx * self.mesh.dy

@@ -1,0 +1,125 @@
+"""mEVP solver tests.
+
+No reference dynamics exists; these pin physically checkable invariants:
+exact strain rates for (bi)linear velocity, zero interior force for constant
+stress, free-drift wind/water drag balance, and bounded stresses in the
+wind-driven box benchmark (BASELINE.json config 3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nextsimdg_tpu.dynamics import MEVPParams, MEVPSolver, RectMesh, VelocityState
+from nextsimdg_tpu.dynamics.mevp import DynamicsForcing, cell_to_node
+
+
+def test_strain_rates_exact_for_linear_velocity():
+    mesh = RectMesh(nx=8, ny=6, dx=0.5, dy=0.25)
+    solver = MEVPSolver(mesh)
+    xn, yn = mesh.node_coords()
+    u = jnp.asarray(2.0 * xn + 0.3 * yn)
+    v = jnp.asarray(-0.5 * xn + 0.7 * yn)
+    e11, e22, e12 = solver.strain_rates(u, v)
+    np.testing.assert_allclose(np.asarray(e11), 2.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(e22), 0.7, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(e12), 0.5 * (0.3 - 0.5), rtol=1e-12)
+
+
+def test_constant_stress_gives_zero_interior_force():
+    mesh = RectMesh(nx=8, ny=8, dx=1.0, dy=1.0)
+    solver = MEVPSolver(mesh)
+    s = jnp.ones((8, 8))
+    fu, fv = solver.stress_divergence(s, s, 0.0 * s)
+    # Interior nodes: contributions cancel.
+    np.testing.assert_allclose(np.asarray(fu)[1:-1, 1:-1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fv)[1:-1, 1:-1], 0.0, atol=1e-12)
+    # Boundary nodes feel the uncompensated edge (nonzero).
+    assert np.max(np.abs(np.asarray(fu)[0, :])) > 0
+
+
+def test_cell_to_node_constant_field():
+    c = jnp.full((5, 4), 3.5)
+    n = cell_to_node(c)
+    assert n.shape == (6, 5)
+    np.testing.assert_allclose(np.asarray(n), 3.5, rtol=1e-12)
+
+
+def _box_setup(n=32, wind=10.0, h0=2.0, a0=1.0, dtype=jnp.float64):
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    h = jnp.full((n, n), h0, dtype=dtype)
+    a = jnp.full((n, n), a0, dtype=dtype)
+    nodes = (n + 1, n + 1)
+    forcing = DynamicsForcing(
+        u_atm=jnp.full(nodes, wind, dtype=dtype),
+        v_atm=jnp.zeros(nodes, dtype=dtype),
+        u_ocean=jnp.zeros(nodes, dtype=dtype),
+        v_ocean=jnp.zeros(nodes, dtype=dtype),
+    )
+    return mesh, h, a, forcing
+
+
+def test_free_drift_matches_drag_balance():
+    """With no ice strength and no Coriolis, u -> sqrt(ra Ca / rw Cw) U."""
+    # mEVP converges ~ n_subcycles/beta of the way per outer step, so use a
+    # small beta for a tight convergence test.
+    params = MEVPParams(p_star=0.0, use_coriolis=False, alpha=40.0, beta=40.0)
+    mesh, h, a, forcing = _box_setup()
+    solver = MEVPSolver(mesh, params)
+    state = VelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+    mask = solver.boundary_mask(dtype=jnp.float64)
+    for _ in range(40):
+        state = solver.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=60)
+    expected = np.sqrt(
+        (params.rho_atm * params.cd_atm) / (params.rho_ocean * params.cd_ocean)
+    ) * 10.0
+    interior_u = np.asarray(state.u)[8:-8, 8:-8]
+    np.testing.assert_allclose(interior_u, expected, rtol=2e-2)
+    assert np.max(np.abs(np.asarray(state.v)[8:-8, 8:-8])) < 0.02 * expected
+
+
+def test_box_benchmark_wind_driven_drift_is_stable_and_bounded():
+    """Wind-driven box with full rheology: bounded velocity, finite stress,
+    compressive stress against the downwind wall."""
+    mesh, h, a, forcing = _box_setup(n=32)
+    solver = MEVPSolver(mesh, MEVPParams(use_coriolis=True))
+    state = VelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+    mask = solver.boundary_mask(dtype=jnp.float64)
+    for _ in range(10):
+        state = solver.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=100)
+    u = np.asarray(state.u)
+    v = np.asarray(state.v)
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(v))
+    free_drift = 0.0161 * 10.0
+    assert np.max(np.abs(u)) < 2.0 * free_drift
+    # Downwind (east) interior: ice pushes against the wall -> compressive
+    # normal stress (negative s11) near the right boundary.
+    s11 = np.asarray(state.s11)
+    assert np.mean(s11[-4:, 8:-8]) < 0.0
+    # Boundary nodes pinned.
+    assert np.all(u[0, :] == 0) and np.all(u[-1, :] == 0)
+    assert np.all(v[:, 0] == 0) and np.all(v[:, -1] == 0)
+
+
+def test_mevp_subcycling_converges_toward_vp_fixed_point():
+    """More subcycles => closer to the VP fixed point (smaller update norm)."""
+    mesh, h, a, forcing = _box_setup(n=16)
+    # Stability needs alpha*beta >> zeta_max*dt*pi^2/(m*dx^2) (~4.5e3 here),
+    # hence the standard alpha=beta=1500; convergence is then ~(1-1/beta)^p.
+    solver = MEVPSolver(mesh, MEVPParams(use_coriolis=False))
+    mask = solver.boundary_mask(dtype=jnp.float64)
+
+    # The practical algorithm: outer steps of N subcycles, u_n refreshed each
+    # step, drive the state to the VP steady solution under steady forcing —
+    # the outer-step velocity increment must shrink strongly.
+    state = VelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+    deltas = []
+    for _ in range(12):
+        nxt = solver.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=1000)
+        deltas.append(float(jnp.max(jnp.abs(nxt.u - state.u))))
+        state = nxt
+    assert deltas[-1] < 0.08 * max(deltas), deltas
+    # And the steady state is a genuine ice-internal-stress regime:
+    # compressive stress of order the ice strength at the downwind wall.
+    p_strength = 27500.0 * 2.0
+    assert float(jnp.min(state.s11)) < -0.5 * p_strength
+    assert float(jnp.min(state.s11)) > -2.0 * p_strength
