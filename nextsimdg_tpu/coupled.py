@@ -1,0 +1,192 @@
+"""The coupled sea-ice model: DG transport + mEVP dynamics + column physics.
+
+The flagship configuration (BASELINE.json config 4: "coupled
+thermo+dynamics ... with prescribed forcing"): per outer timestep
+
+1. mEVP subcycled momentum solve on the current means (h, A);
+2. DG advection of the prognostic tracers (hice, cice, hsnow) with the CG
+   velocity;
+3. bounds enforcement (0 <= A <= 1, h >= 0);
+4. column thermodynamics on element means, with the higher DG moments
+   rescaled to preserve the sub-element shape.
+
+Everything is one jittable pure function over the CoupledState pytree;
+sharding the (nx, ny) dims over a device mesh SPMD-partitions the whole
+step (see nextsimdg_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .dynamics.mesh import RectMesh
+from .dynamics.mevp import DynamicsForcing, MEVPParams, MEVPSolver, VelocityState
+from .dynamics.transport import DGTransport, velocity_from_cg
+from .physics.nextsim_physics import NextsimPhysics
+from .state import Forcing, PrognosticState, safe_div
+
+
+def _pytree(cls):
+    return jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f.name for f in dataclasses.fields(cls)],
+        meta_fields=[],
+    )
+
+
+@_pytree
+@dataclass(frozen=True)
+class CoupledState:
+    """Full prognostic state of the coupled model."""
+
+    hice: jax.Array  #: DG coefficients of effective ice thickness (K, nx, ny)
+    cice: jax.Array  #: DG coefficients of concentration (K, nx, ny)
+    hsnow: jax.Array  #: DG coefficients of effective snow thickness (K, nx, ny)
+    sst: jax.Array  #: (nx, ny)
+    sss: jax.Array  #: (nx, ny)
+    tice: jax.Array  #: (nlayers, nx, ny)
+    velocity: VelocityState
+    new_ice: jax.Array  #: carried physics state (nx, ny)
+
+    @property
+    def n_dg_dofs(self) -> int:
+        return self.hice.shape[0]
+
+
+class CoupledModel:
+    def __init__(
+        self,
+        mesh: RectMesh,
+        degree: int = 1,
+        mevp_params: MEVPParams = MEVPParams(),
+        n_subcycles: int = 100,
+        physics: NextsimPhysics = None,
+    ) -> None:
+        self.mesh = mesh
+        self.transport = DGTransport(mesh, degree=degree)
+        self.mevp = MEVPSolver(mesh, mevp_params)
+        self.n_subcycles = n_subcycles
+        if physics is None:
+            physics = NextsimPhysics()  # default modules, default parameters
+        self.physics = physics
+        self._node_mask64 = None
+
+    # -- state construction --------------------------------------------------
+    def initial_state(
+        self, hice0=0.0, cice0=0.0, hsnow0=0.0, sst0=-1.8, sss0=32.0,
+        tice0=-1.0, nlayers: int = 1, dtype=jnp.float32,
+    ) -> CoupledState:
+        nx, ny = self.mesh.nx, self.mesh.ny
+        k = self.transport.basis.n_dofs
+        dg = lambda v: jnp.zeros((k, nx, ny), dtype).at[0].set(v)
+        return CoupledState(
+            hice=dg(hice0),
+            cice=dg(cice0),
+            hsnow=dg(hsnow0),
+            sst=jnp.full((nx, ny), sst0, dtype),
+            sss=jnp.full((nx, ny), sss0, dtype),
+            tice=jnp.full((nlayers, nx, ny), tice0, dtype),
+            velocity=VelocityState.zeros(nx, ny, dtype),
+            new_ice=jnp.zeros((nx, ny), dtype),
+        )
+
+    def node_mask(self, dtype):
+        return self.mevp.boundary_mask(dtype=dtype)
+
+    # -- one coupled timestep ------------------------------------------------
+    @partial(jax.jit, static_argnames=("self", "dt", "do_dynamics", "do_thermo"))
+    def step(
+        self,
+        state: CoupledState,
+        phys_forcing: Forcing,
+        dyn_forcing: DynamicsForcing,
+        dt: float,
+        do_dynamics: bool = True,
+        do_thermo: bool = True,
+    ) -> CoupledState:
+        dtype = state.hice.dtype
+        velocity = state.velocity
+        hice, cice, hsnow = state.hice, state.cice, state.hsnow
+
+        if do_dynamics:
+            # 1. momentum: mEVP on cell means.
+            h_mean = hice[0]
+            a_mean = jnp.clip(cice[0], 0.0, 1.0)
+            mask = self.node_mask(dtype)
+            velocity = self.mevp.step(
+                velocity, h_mean, a_mean, dyn_forcing, mask, dt, self.n_subcycles
+            )
+
+            # 2. DG advection of the tracers with the CG velocity.
+            qv = velocity_from_cg(self.mesh, self.transport.basis, velocity.u, velocity.v)
+            hice = self.transport.step(hice, qv, dt)
+            cice = self.transport.step(cice, qv, dt)
+            hsnow = self.transport.step(hsnow, qv, dt)
+
+            # 3. bounds: means clamped, higher moments scaled accordingly.
+            hice = _clamp_dg(hice, 0.0, None)
+            cice = _clamp_dg(cice, 0.0, 1.0)
+            hsnow = _clamp_dg(hsnow, 0.0, None)
+
+        new_ice = state.new_ice
+        sst, sss, tice = state.sst, state.sss, state.tice
+        if do_thermo:
+            # 4. column physics on element means.
+            prog = PrognosticState(
+                hice=hice[0], cice=cice[0], hsnow=hsnow[0], sst=sst, sss=sss, tice=tice,
+            )
+            updated, diags = self.physics.step(prog, phys_forcing, new_ice, dt)
+            new_ice = diags.new_ice
+            hice = _rescale_dg(hice, updated.hice)
+            cice = _rescale_dg(cice, updated.cice)
+            hsnow = _rescale_dg(hsnow, updated.hsnow)
+            tice = updated.tice
+            sst, sss = updated.sst, updated.sss
+
+        return CoupledState(
+            hice=hice, cice=cice, hsnow=hsnow, sst=sst, sss=sss, tice=tice,
+            velocity=velocity, new_ice=new_ice,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "do_dynamics", "do_thermo"))
+    def run(
+        self,
+        state: CoupledState,
+        phys_forcing: Forcing,
+        dyn_forcing: DynamicsForcing,
+        dt: float,
+        n_steps: int,
+        do_dynamics: bool = True,
+        do_thermo: bool = True,
+    ) -> CoupledState:
+        """n_steps coupled steps on device (lax.scan over the outer loop)."""
+
+        def body(s, _):
+            return (
+                self.step(s, phys_forcing, dyn_forcing, dt, do_dynamics, do_thermo),
+                None,
+            )
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+
+def _clamp_dg(coeffs, lo, hi):
+    """Clamp the cell mean; zero higher moments where the mean was clamped."""
+    mean = coeffs[0]
+    clamped = jnp.clip(mean, lo, hi)
+    at_bound = clamped != mean
+    rest = jnp.where(at_bound[None], 0.0, coeffs[1:])
+    return jnp.concatenate([clamped[None], rest], axis=0)
+
+
+def _rescale_dg(coeffs, new_mean):
+    """Replace the mean, scaling higher moments by new/old (shape-preserving)."""
+    old_mean = coeffs[0]
+    ratio = safe_div(new_mean, old_mean)
+    return jnp.concatenate([new_mean[None], coeffs[1:] * ratio[None]], axis=0)

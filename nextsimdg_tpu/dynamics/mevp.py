@@ -64,17 +64,22 @@ class MEVPParams:
 @_pytree
 @dataclass(frozen=True)
 class VelocityState:
-    """Dynamics state: CG1 velocity + element stresses."""
+    """Dynamics state: CG1 velocity + element stresses (owned-node layout).
 
-    u: jax.Array  #: x velocity at nodes (nx+1, ny+1) [m s-1]
-    v: jax.Array  #: y velocity at nodes (nx+1, ny+1)
-    s11: jax.Array  #: stress components per element (nx, ny) [N m-1... Pa m]
+    Node (i, j) for i in [0, nx), j in [0, ny) — the i=nx / j=ny boundary
+    nodes are implicit (Dirichlet-zero when closed, wrap when periodic); see
+    ``dynamics.stencil``. All arrays are (nx, ny): uniform device sharding.
+    """
+
+    u: jax.Array  #: x velocity at owned nodes (nx, ny) [m s-1]
+    v: jax.Array  #: y velocity at owned nodes (nx, ny)
+    s11: jax.Array  #: stress components per element (nx, ny)
     s22: jax.Array
     s12: jax.Array
 
     @classmethod
     def zeros(cls, nx: int, ny: int, dtype=jnp.float32) -> "VelocityState":
-        nodes = jnp.zeros((nx + 1, ny + 1), dtype=dtype)
+        nodes = jnp.zeros((nx, ny), dtype=dtype)
         cells = jnp.zeros((nx, ny), dtype=dtype)
         return cls(u=nodes, v=nodes, s11=cells, s22=cells, s12=cells)
 
@@ -82,7 +87,7 @@ class VelocityState:
 @_pytree
 @dataclass(frozen=True)
 class DynamicsForcing:
-    """Wind and ocean-current forcing at CG nodes (nx+1, ny+1)."""
+    """Wind and ocean-current forcing at owned CG nodes (nx, ny)."""
 
     u_atm: jax.Array
     v_atm: jax.Array
@@ -91,20 +96,22 @@ class DynamicsForcing:
 
     @classmethod
     def zeros(cls, nx: int, ny: int, dtype=jnp.float32) -> "DynamicsForcing":
-        nodes = jnp.zeros((nx + 1, ny + 1), dtype=dtype)
+        nodes = jnp.zeros((nx, ny), dtype=dtype)
         return cls(u_atm=nodes, v_atm=nodes, u_ocean=nodes, v_ocean=nodes)
 
 
-def cell_to_node(cell):
-    """Average element values to nodes (boundary nodes use available cells).
+def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False):
+    """Average the 4 adjacent element values to each owned node.
 
-    Equivalent to lumped-mass CG1 projection: node value = sum of adjacent
-    cell contributions / number of adjacent cells.
+    Lumped-mass CG1 projection. Closed boundaries zero-fill the missing
+    neighbors (those nodes are Dirichlet-masked anyway).
     """
-    padded = jnp.pad(cell, 1, mode="edge")
-    return 0.25 * (
-        padded[:-1, :-1] + padded[1:, :-1] + padded[:-1, 1:] + padded[1:, 1:]
-    )
+    from .stencil import shift_m
+
+    cm_x = shift_m(cell, 0, periodic_x)
+    cm_y = shift_m(cell, 1, periodic_y)
+    cm_xy = shift_m(cm_x, 1, periodic_y)
+    return 0.25 * (cell + cm_x + cm_y + cm_xy)
 
 
 class MEVPSolver:
@@ -114,12 +121,24 @@ class MEVPSolver:
 
     # -- per-element strain rates from CG1 velocity --------------------------
     def strain_rates(self, u, v):
-        """(e11, e22, e12) at element centers from bilinear gradients."""
+        """(e11, e22, e12) at element centers from bilinear gradients.
+
+        Element (i, j) reads owned nodes (i, j), (i+1, j), (i, j+1),
+        (i+1, j+1); +1 shifts supply the implicit boundary values.
+        """
+        from .stencil import shift_p
+
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
         dx, dy = self.mesh.dx, self.mesh.dy
-        du_dx = 0.5 * ((u[1:, :-1] - u[:-1, :-1]) + (u[1:, 1:] - u[:-1, 1:])) / dx
-        dv_dy = 0.5 * ((v[:-1, 1:] - v[:-1, :-1]) + (v[1:, 1:] - v[1:, :-1])) / dy
-        du_dy = 0.5 * ((u[:-1, 1:] - u[:-1, :-1]) + (u[1:, 1:] - u[1:, :-1])) / dy
-        dv_dx = 0.5 * ((v[1:, :-1] - v[:-1, :-1]) + (v[1:, 1:] - v[:-1, 1:])) / dx
+        u00, v00 = u, v
+        u10, v10 = shift_p(u, 0, px), shift_p(v, 0, px)
+        u01, v01 = shift_p(u, 1, py), shift_p(v, 1, py)
+        u11 = shift_p(u10, 1, py)
+        v11 = shift_p(v10, 1, py)
+        du_dx = 0.5 * ((u10 - u00) + (u11 - u01)) / dx
+        dv_dy = 0.5 * ((v01 - v00) + (v11 - v10)) / dy
+        du_dy = 0.5 * ((u01 - u00) + (u11 - u10)) / dy
+        dv_dx = 0.5 * ((v10 - v00) + (v11 - v01)) / dx
         return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
 
     # -- weak-form divergence of element-constant stress to nodes ------------
@@ -128,24 +147,26 @@ class MEVPSolver:
 
         For bilinear phi on a rectangle, int_E dphi/dx dA = +-dy/2 (sign by
         which side of E the node is on) and int_E dphi/dy dA = +-dx/2, so
-        assembly is a signed 2x2 corner scatter.
+        assembly is a signed 2x2 corner gather: node (i, j) reads elements
+        (i-1, j-1), (i-1, j), (i, j-1), (i, j).
         """
+        from .stencil import shift_m
+
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
         dx, dy = self.mesh.dx, self.mesh.dy
 
         def scatter_x(cell):
-            # d(phi)/dx weight: -1 for nodes on the left side of the element,
-            # +1 on the right; scaled by dy/2.
-            p = jnp.pad(cell, 1)
-            return 0.5 * dy * (
-                (p[:-1, :-1] + p[:-1, 1:])  # elements left of node: +
-                - (p[1:, :-1] + p[1:, 1:])  # elements right of node: -
-            )
+            cm_x = shift_m(cell, 0, px)
+            cm_y = shift_m(cell, 1, py)
+            cm_xy = shift_m(cm_x, 1, py)
+            # + for elements left of the node, - for elements right of it.
+            return 0.5 * dy * ((cm_xy + cm_x) - (cm_y + cell))
 
         def scatter_y(cell):
-            p = jnp.pad(cell, 1)
-            return 0.5 * dx * (
-                (p[:-1, :-1] + p[1:, :-1]) - (p[:-1, 1:] + p[1:, 1:])
-            )
+            cm_x = shift_m(cell, 0, px)
+            cm_y = shift_m(cell, 1, py)
+            cm_xy = shift_m(cm_x, 1, py)
+            return 0.5 * dx * ((cm_xy + cm_y) - (cm_x + cell))
 
         fu = scatter_x(s11) + scatter_y(s12)
         fv = scatter_x(s12) + scatter_y(s22)
@@ -171,7 +192,9 @@ class MEVPSolver:
         strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
 
         # Lumped nodal ice mass per unit area [kg m-2], clamped for stability.
-        m_node = p.rho_ice * cell_to_node(h)
+        m_node = p.rho_ice * cell_to_node(
+            h, self.mesh.periodic_x, self.mesh.periodic_y
+        )
         ice_node = m_node > p.min_ice_mass
         m_safe = jnp.maximum(m_node, p.min_ice_mass)
 
@@ -243,7 +266,17 @@ class MEVPSolver:
         return VelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)
 
     def boundary_mask(self, dtype=jnp.float32):
-        """1 on interior nodes, 0 on the domain boundary (no-slip walls)."""
+        """1 on interior owned nodes, 0 on no-slip walls.
+
+        Closed axes pin the stored i=0 / j=0 nodes (the i=nx / j=ny nodes
+        are implicit and always zero); periodic axes have no walls.
+        """
         nx, ny = self.mesh.nx, self.mesh.ny
-        mask = jnp.zeros((nx + 1, ny + 1), dtype=dtype)
-        return mask.at[1:-1, 1:-1].set(1.0)
+        import numpy as np
+
+        mask = np.ones((nx, ny))
+        if not self.mesh.periodic_x:
+            mask[0, :] = 0.0
+        if not self.mesh.periodic_y:
+            mask[:, 0] = 0.0
+        return jnp.asarray(mask, dtype=dtype)

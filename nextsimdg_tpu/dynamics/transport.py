@@ -48,11 +48,13 @@ def _pytree(cls):
 @_pytree
 @dataclass(frozen=True)
 class QuadVelocity:
-    """Velocity sampled at DG quadrature points.
+    """Velocity sampled at DG quadrature points, owned-edge layout.
 
     vx_vol/vy_vol: (NQ, nx, ny) at volume points;
-    vn_x: (NE, nx+1, ny) normal (+x) velocity at vertical edges;
-    vn_y: (NE, nx, ny+1) normal (+y) velocity at horizontal edges.
+    vn_x: (NE, nx, ny) normal (+x) velocity at the LEFT face of element i
+    (the face between elements i-1 and i); the right domain-boundary face is
+    implicit — zero flux when closed, wrap when periodic;
+    vn_y: (NE, nx, ny) normal (+y) velocity at the BOTTOM face, analogous.
     """
 
     vx_vol: jax.Array
@@ -73,26 +75,31 @@ def sample_velocity(mesh: RectMesh, basis: DGBasis, fn: Callable, dtype=jnp.floa
     return QuadVelocity(
         vx_vol=as_a(vx_vol),
         vy_vol=as_a(vy_vol),
-        vn_x=as_a(np.moveaxis(vnx, 2, 0)),
-        vn_y=as_a(np.moveaxis(vny, 2, 0)),
+        # Owned edges: faces 0..nx-1 (left faces); the domain's rightmost
+        # face is dropped (wall when closed, duplicate of face 0 if periodic).
+        vn_x=as_a(np.moveaxis(vnx[: mesh.nx], 2, 0)),
+        vn_y=as_a(np.moveaxis(vny[:, : mesh.ny], 2, 0)),
     )
 
 
 def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v) -> QuadVelocity:
-    """Sample a CG1 nodal velocity (u, v each (nx+1, ny+1)) at quad points.
+    """Sample a CG1 nodal velocity at quad points (owned-node layout).
 
-    Bilinear interpolation within each element; on shared faces the CG field
-    is single-valued, so edge normal velocities are well defined.
+    ``u, v`` are (nx, ny) owned-node arrays (see dynamics.stencil); bilinear
+    interpolation within each element, single-valued on shared faces.
     """
+    from .stencil import shift_p
+
+    px, py = mesh.periodic_x, mesh.periodic_y
     xi = jnp.asarray(basis.xq_vol)[:, None, None]
     eta = jnp.asarray(basis.yq_vol)[:, None, None]
     s = jnp.asarray(basis.s_edge)
 
-    def bilinear(f, xi, eta):
-        f00 = f[:-1, :-1][None]
-        f10 = f[1:, :-1][None]
-        f01 = f[:-1, 1:][None]
-        f11 = f[1:, 1:][None]
+    def bilinear(f):
+        f00 = f[None]
+        f10 = shift_p(f, 0, px)[None]
+        f01 = shift_p(f, 1, py)[None]
+        f11 = shift_p(shift_p(f, 0, px), 1, py)[None]
         return (
             f00 * (1 - xi) * (1 - eta)
             + f10 * xi * (1 - eta)
@@ -100,12 +107,12 @@ def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v) -> QuadVelocity:
             + f11 * xi * eta
         )
 
-    vx_vol = bilinear(u, xi, eta)
-    vy_vol = bilinear(v, xi, eta)
-    # Vertical edges x=const: linear in y between the two nodes of the edge.
+    vx_vol = bilinear(u)
+    vy_vol = bilinear(v)
+    # Left face of element i: linear in y between nodes (i, j) and (i, j+1).
     se = s[:, None, None]
-    vn_x = u[:, :-1][None] * (1 - se) + u[:, 1:][None] * se  # (NE, nx+1, ny)
-    vn_y = v[:-1, :][None] * (1 - se) + v[1:, :][None] * se  # (NE, nx, ny+1)
+    vn_x = u[None] * (1 - se) + shift_p(u, 1, py)[None] * se  # (NE, nx, ny)
+    vn_y = v[None] * (1 - se) + shift_p(v, 0, px)[None] * se  # (NE, nx, ny)
     return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
 
 
@@ -129,6 +136,13 @@ class DGTransport:
         self._psi_y0 = jnp.asarray(b.psi_y0)
         self._psi_y1 = jnp.asarray(b.psi_y1)
         self._inv_mass = jnp.asarray(b.inv_mass_diag)
+        # Wall masks for closed boundaries: zero the i=0 / j=0 face flux.
+        wall_x = np.ones((1, mesh.nx, 1))
+        wall_x[0, 0, 0] = 0.0
+        self._wall_x = jnp.asarray(wall_x)
+        wall_y = np.ones((1, 1, mesh.ny))
+        wall_y[0, 0, 0] = 0.0
+        self._wall_y = jnp.asarray(wall_y)
 
     # -- semi-discrete RHS ---------------------------------------------------
     def rhs(self, psi, vel: QuadVelocity):
@@ -148,38 +162,38 @@ class DGTransport:
         ) / mesh.dy
         volume = gx + gy
 
-        # Upwind edge fluxes, x-direction.
+        # Upwind edge fluxes, x-direction (owned left-face edges).
+        from .stencil import shift_m, shift_p
+
+        px, py = mesh.periodic_x, mesh.periodic_y
         tr_x1 = jnp.einsum("kq,kxy->qxy", self._psi_x1.astype(dtype), psi)  # right face
         tr_x0 = jnp.einsum("kq,kxy->qxy", self._psi_x0.astype(dtype), psi)  # left face
-        if mesh.periodic_x:
-            left_of_edge = jnp.concatenate([tr_x1[:, -1:, :], tr_x1], axis=1)
-            right_of_edge = jnp.concatenate([tr_x0, tr_x0[:, :1, :]], axis=1)
-        else:
-            zero = jnp.zeros_like(tr_x1[:, :1, :])
-            left_of_edge = jnp.concatenate([zero, tr_x1], axis=1)
-            right_of_edge = jnp.concatenate([tr_x0, zero], axis=1)
-        upwinded = jnp.where(vel.vn_x >= 0, left_of_edge, right_of_edge)
+        # Face i sits between elements i-1 (left) and i (right).
+        left_of_edge = shift_m(tr_x1, 1, px)
+        upwinded = jnp.where(vel.vn_x >= 0, left_of_edge, tr_x0)
         g_x = self._w_edge.astype(dtype)[:, None, None] * vel.vn_x * upwinded
+        if not px:
+            # Closed domain: the i=0 face is an impermeable wall.
+            g_x = g_x * self._wall_x.astype(dtype)
+        # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
+        g_right = shift_p(g_x, 1, px)
         edge_x = (
-            jnp.einsum("kq,qxy->kxy", self._psi_x1.astype(dtype), g_x[:, 1:, :])
-            - jnp.einsum("kq,qxy->kxy", self._psi_x0.astype(dtype), g_x[:, :-1, :])
+            jnp.einsum("kq,qxy->kxy", self._psi_x1.astype(dtype), g_right)
+            - jnp.einsum("kq,qxy->kxy", self._psi_x0.astype(dtype), g_x)
         ) / mesh.dx
 
-        # Upwind edge fluxes, y-direction.
+        # Upwind edge fluxes, y-direction (owned bottom-face edges).
         tr_y1 = jnp.einsum("kq,kxy->qxy", self._psi_y1.astype(dtype), psi)  # top face
         tr_y0 = jnp.einsum("kq,kxy->qxy", self._psi_y0.astype(dtype), psi)  # bottom
-        if mesh.periodic_y:
-            below = jnp.concatenate([tr_y1[:, :, -1:], tr_y1], axis=2)
-            above = jnp.concatenate([tr_y0, tr_y0[:, :, :1]], axis=2)
-        else:
-            zero = jnp.zeros_like(tr_y1[:, :, :1])
-            below = jnp.concatenate([zero, tr_y1], axis=2)
-            above = jnp.concatenate([tr_y0, zero], axis=2)
-        upwinded_y = jnp.where(vel.vn_y >= 0, below, above)
+        below = shift_m(tr_y1, 2, py)
+        upwinded_y = jnp.where(vel.vn_y >= 0, below, tr_y0)
         g_y = self._w_edge.astype(dtype)[:, None, None] * vel.vn_y * upwinded_y
+        if not py:
+            g_y = g_y * self._wall_y.astype(dtype)
+        g_top = shift_p(g_y, 2, py)
         edge_y = (
-            jnp.einsum("kq,qxy->kxy", self._psi_y1.astype(dtype), g_y[:, :, 1:])
-            - jnp.einsum("kq,qxy->kxy", self._psi_y0.astype(dtype), g_y[:, :, :-1])
+            jnp.einsum("kq,qxy->kxy", self._psi_y1.astype(dtype), g_top)
+            - jnp.einsum("kq,qxy->kxy", self._psi_y0.astype(dtype), g_y)
         ) / mesh.dy
 
         return self._inv_mass.astype(dtype)[:, None, None] * (volume - edge_x - edge_y)

@@ -17,12 +17,16 @@ def test_strain_rates_exact_for_linear_velocity():
     mesh = RectMesh(nx=8, ny=6, dx=0.5, dy=0.25)
     solver = MEVPSolver(mesh)
     xn, yn = mesh.node_coords()
-    u = jnp.asarray(2.0 * xn + 0.3 * yn)
-    v = jnp.asarray(-0.5 * xn + 0.7 * yn)
+    # Owned-node layout: nodes (i, j) for i < nx, j < ny.
+    u = jnp.asarray((2.0 * xn + 0.3 * yn)[:-1, :-1])
+    v = jnp.asarray((-0.5 * xn + 0.7 * yn)[:-1, :-1])
     e11, e22, e12 = solver.strain_rates(u, v)
-    np.testing.assert_allclose(np.asarray(e11), 2.0, rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(e22), 0.7, rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(e12), 0.5 * (0.3 - 0.5), rtol=1e-12)
+    # Interior elements (the last row/column sees the implicit wall nodes).
+    np.testing.assert_allclose(np.asarray(e11)[:-1, :-1], 2.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(e22)[:-1, :-1], 0.7, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(e12)[:-1, :-1], 0.5 * (0.3 - 0.5), rtol=1e-12
+    )
 
 
 def test_constant_stress_gives_zero_interior_force():
@@ -31,24 +35,25 @@ def test_constant_stress_gives_zero_interior_force():
     s = jnp.ones((8, 8))
     fu, fv = solver.stress_divergence(s, s, 0.0 * s)
     # Interior nodes: contributions cancel.
-    np.testing.assert_allclose(np.asarray(fu)[1:-1, 1:-1], 0.0, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(fv)[1:-1, 1:-1], 0.0, atol=1e-12)
-    # Boundary nodes feel the uncompensated edge (nonzero).
+    np.testing.assert_allclose(np.asarray(fu)[1:, 1:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fv)[1:, 1:], 0.0, atol=1e-12)
+    # Wall nodes feel the uncompensated edge (nonzero).
     assert np.max(np.abs(np.asarray(fu)[0, :])) > 0
 
 
 def test_cell_to_node_constant_field():
     c = jnp.full((5, 4), 3.5)
     n = cell_to_node(c)
-    assert n.shape == (6, 5)
-    np.testing.assert_allclose(np.asarray(n), 3.5, rtol=1e-12)
+    assert n.shape == (5, 4)
+    # Interior nodes average 4 equal cells; wall nodes see zero fill.
+    np.testing.assert_allclose(np.asarray(n)[1:, 1:], 3.5, rtol=1e-12)
 
 
 def _box_setup(n=32, wind=10.0, h0=2.0, a0=1.0, dtype=jnp.float64):
     mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
     h = jnp.full((n, n), h0, dtype=dtype)
     a = jnp.full((n, n), a0, dtype=dtype)
-    nodes = (n + 1, n + 1)
+    nodes = (n, n)
     forcing = DynamicsForcing(
         u_atm=jnp.full(nodes, wind, dtype=dtype),
         v_atm=jnp.zeros(nodes, dtype=dtype),
@@ -95,9 +100,9 @@ def test_box_benchmark_wind_driven_drift_is_stable_and_bounded():
     # normal stress (negative s11) near the right boundary.
     s11 = np.asarray(state.s11)
     assert np.mean(s11[-4:, 8:-8]) < 0.0
-    # Boundary nodes pinned.
-    assert np.all(u[0, :] == 0) and np.all(u[-1, :] == 0)
-    assert np.all(v[:, 0] == 0) and np.all(v[:, -1] == 0)
+    # Stored wall nodes pinned (the i=nx / j=ny walls are implicit zeros).
+    assert np.all(u[0, :] == 0) and np.all(v[0, :] == 0)
+    assert np.all(u[:, 0] == 0) and np.all(v[:, 0] == 0)
 
 
 def test_mevp_subcycling_converges_toward_vp_fixed_point():

@@ -80,15 +80,11 @@ def test_solid_body_rotation_convergence_with_order():
     # dG0 upwind is very diffusive; dG1 and dG2 sharply better.
     assert err1 < 0.5 * err0, (err0, err1)
     assert err2 < 0.5 * err1, (err1, err2)
-    # Interior conservation is exact (telescoping fluxes; the periodic test
-    # checks it at machine precision); the only loss here is genuine upwind
-    # outflow of the ~1e-4 Gaussian tail through the open walls.
+    # Closed walls block all fluxes: conservation is machine-exact.
     initial_mass = 2 * np.pi * 0.07**2  # integral of the blob
-    # dG0's first-order diffusion spreads the blob to the walls, so it loses
-    # more; the higher orders keep it compact.
-    assert drift0 < 0.2 * initial_mass, drift0
-    assert drift1 < 1e-2 * initial_mass, drift1
-    assert drift2 < 1e-2 * initial_mass, drift2
+    assert drift0 < 1e-12 * initial_mass, drift0
+    assert drift1 < 1e-12 * initial_mass, drift1
+    assert drift2 < 1e-12 * initial_mass, drift2
 
 
 def test_periodic_translation_returns_to_start():
@@ -111,15 +107,28 @@ def test_periodic_translation_returns_to_start():
 
 
 def test_velocity_from_cg_matches_analytic_for_bilinear_field():
-    """CG sampling must agree with analytic sampling for a bilinear velocity."""
+    """CG sampling must agree with analytic sampling for a bilinear velocity.
+
+    Owned-node layout: the comparison excludes the last element strip, whose
+    upper/right corners are the implicit wall nodes (zero, not fn).
+    """
     mesh = RectMesh(nx=8, ny=8, dx=0.125, dy=0.125)
     basis = dg_basis(2)
     fn = lambda x, y: (1.0 + 2.0 * x + 0.5 * y + 0.25 * x * y, 0.3 * x - 0.7 * y)
     xn, yn = mesh.node_coords()
     u, v = fn(xn, yn)
-    qv_cg = velocity_from_cg(mesh, basis, jnp.asarray(u), jnp.asarray(v))
+    qv_cg = velocity_from_cg(mesh, basis, jnp.asarray(u[:-1, :-1]), jnp.asarray(v[:-1, :-1]))
     qv_an = sample_velocity(mesh, basis, fn, dtype=jnp.float64)
-    np.testing.assert_allclose(np.asarray(qv_cg.vx_vol), np.asarray(qv_an.vx_vol), rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(qv_cg.vy_vol), np.asarray(qv_an.vy_vol), rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(qv_cg.vn_x), np.asarray(qv_an.vn_x), rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(qv_cg.vn_y), np.asarray(qv_an.vn_y), rtol=1e-12, atol=1e-14)
+    kw = dict(rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(qv_cg.vx_vol)[:, :-1, :-1], np.asarray(qv_an.vx_vol)[:, :-1, :-1], **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(qv_cg.vy_vol)[:, :-1, :-1], np.asarray(qv_an.vy_vol)[:, :-1, :-1], **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(qv_cg.vn_x)[:, :, :-1], np.asarray(qv_an.vn_x)[:, :, :-1], **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(qv_cg.vn_y)[:, :-1, :], np.asarray(qv_an.vn_y)[:, :-1, :], **kw
+    )
