@@ -1,0 +1,89 @@
+"""Headline benchmark: mesh-element updates/s/chip for DG advection + mEVP.
+
+Matches the driver metric (BASELINE.json): the wind-driven box configuration
+on a 256x256 mesh, dG1 tracers, 100 mEVP subcycles per step, f32, run on one
+real TPU chip. One JSON line is printed:
+
+    {"metric": ..., "value": N, "unit": "elements/s", "vs_baseline": N}
+
+The reference publishes no performance numbers (BASELINE.md: early-stage
+single-threaded C++ on a 10x10 grid), so ``vs_baseline`` is reported against
+a fixed reference-point constant: the measured throughput of this
+framework's first TPU run (round 1), making cross-round progress visible.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 first-measurement anchor [element updates/s]; see module docstring.
+# Measured 2026-08-17 on one TPU v5e chip, commit "coupled model + SPMD":
+# the unfused XLA path before Pallas kernel optimization.
+R1_BASELINE_ELEMENTS_PER_S = 8.613e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import MEVPParams, RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.state import Forcing
+
+    n = 256
+    n_subcycles = 100
+    dt = 600.0
+    dtype = jnp.float32
+
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    model = CoupledModel(mesh, degree=1, mevp_params=MEVPParams(), n_subcycles=n_subcycles)
+    state = model.initial_state(
+        hice0=1.0, cice0=0.9, hsnow0=0.05, sst0=-1.6, sss0=32.0, dtype=dtype
+    )
+    full = lambda v: jnp.full((n, n), v, dtype=dtype)
+    phys_forcing = Forcing(
+        tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
+        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0),
+    )
+    dyn_forcing = DynamicsForcing(
+        u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+
+    # Dynamics-only (BASELINE config 3: thermodynamics off) via lax.scan.
+    def run(state, n_steps):
+        return model.run(
+            state, phys_forcing, dyn_forcing, dt, n_steps, do_thermo=False
+        )
+
+    # Warmup/compile.
+    state = jax.block_until_ready(run(state, 1))
+
+    # Calibrate step cost, then measure for ~2 seconds.
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(run(state, 5))
+    per_step = (time.perf_counter() - t0) / 5
+    n_steps = max(5, int(2.0 / per_step))
+
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(run(state, n_steps))
+    elapsed = time.perf_counter() - t0
+
+    elements_per_s = n * n * n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "element updates/s/chip (dG1 advection + 100-subcycle mEVP, 256x256, f32)",
+                "value": float(f"{elements_per_s:.4g}"),
+                "unit": "elements/s",
+                "vs_baseline": float(f"{elements_per_s / R1_BASELINE_ELEMENTS_PER_S:.4g}"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
