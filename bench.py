@@ -20,9 +20,10 @@ import time
 import numpy as np
 
 # Round-1 first-measurement anchor [element updates/s]; see module docstring.
-# Measured 2026-08-17 on one TPU v5e chip, commit "coupled model + SPMD":
-# the unfused XLA path before Pallas kernel optimization.
-R1_BASELINE_ELEMENTS_PER_S = 8.613e6
+# Measured 2026-08-17 on one TPU v5e chip with this harness and the unfused
+# XLA mEVP path (backend="xla"): 7.217e7 elements/s. The default (fused
+# Pallas mEVP kernel) reports its speedup against this anchor.
+R1_BASELINE_ELEMENTS_PER_S = 7.217e7
 
 
 def main() -> None:
@@ -54,25 +55,25 @@ def main() -> None:
     )
 
     # Dynamics-only (BASELINE config 3: thermodynamics off) via lax.scan.
-    def run(state, n_steps):
+    # Fixed chunk size: the scan is compiled ONCE, warmed up, then timed, so
+    # neither compilation nor the per-dispatch RPC latency (~25 ms through
+    # the axon tunnel) pollutes the measurement.
+    chunk = 256
+
+    def run(state):
         return model.run(
-            state, phys_forcing, dyn_forcing, dt, n_steps, do_thermo=False
+            state, phys_forcing, dyn_forcing, dt, chunk, do_thermo=False
         )
 
-    # Warmup/compile.
-    state = jax.block_until_ready(run(state, 1))
+    state = jax.block_until_ready(run(state))  # compile + warmup
 
-    # Calibrate step cost, then measure for ~2 seconds.
-    t0 = time.perf_counter()
-    state = jax.block_until_ready(run(state, 5))
-    per_step = (time.perf_counter() - t0) / 5
-    n_steps = max(5, int(2.0 / per_step))
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(run(state))
+        best = min(best, time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    state = jax.block_until_ready(run(state, n_steps))
-    elapsed = time.perf_counter() - t0
-
-    elements_per_s = n * n * n_steps / elapsed
+    elements_per_s = n * n * chunk / best
     print(
         json.dumps(
             {

@@ -1,0 +1,81 @@
+"""Fused Pallas kernel for the mEVP subcycle loop.
+
+The XLA path runs each subcycle as a chain of fused elementwise/stencil ops,
+re-reading ~10 (nx, ny) arrays from HBM per subcycle. This kernel instead
+keeps the ENTIRE subcycle state resident in VMEM for all N subcycles: the
+9 constant fields plus 5 state fields at f32 are ~14 bytes/element, so up
+to ~512x512 fits the ~16 MB VMEM of a TPU core; HBM is touched once on the
+way in and once on the way out, a ~Nx reduction in memory traffic for the
+dominant loop of the model.
+
+The numerical body is ``MEVPSolver.subcycle_body`` — the exact same jnp
+code as the XLA path (bit-identical math), traced inside the kernel; the
+shifts lower to Mosaic sublane/lane rotations and concatenations.
+
+Scope: single-block kernel — grids whose state fits VMEM. Larger grids
+keep the XLA path (which GSPMD also shards over device meshes); a
+halo-tiled multi-block variant is the planned follow-up.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: VMEM budget for the fused kernel [bytes]; leave headroom for temporaries.
+_VMEM_BUDGET = 12 * 1024 * 1024
+#: Fields held resident: 9 constants + 5 state + ~8 live temporaries.
+_RESIDENT_FIELDS = 22
+
+
+def pallas_supported(nx: int, ny: int, itemsize: int = 4) -> bool:
+    """Whether the single-block fused kernel fits this grid in VMEM."""
+    return nx * ny * itemsize * _RESIDENT_FIELDS <= _VMEM_BUDGET
+
+
+def mevp_subcycles_pallas(
+    solver,  # MEVPSolver (carries mesh + params; static)
+    state_arrays,  # (u, v, s11, s22, s12)
+    consts: dict,  # strength, m_safe, active, tau_au/av, u/v_ocean, u_n/v_n
+    dt: float,
+    n_subcycles: int,
+    interpret: bool = False,
+):
+    """Run n_subcycles fused in one Pallas call; returns (u, v, s11, s22, s12)."""
+    u, v, s11, s22, s12 = state_arrays
+    const_names = (
+        "strength", "m_safe", "active", "tau_au", "tau_av",
+        "u_ocean", "v_ocean", "u_n", "v_n",
+    )
+    const_arrays = [consts[name] for name in const_names]
+
+    def kernel(*refs):
+        const_refs = refs[: len(const_names)]
+        in_state = refs[len(const_names) : len(const_names) + 5]
+        out_state = refs[len(const_names) + 5 :]
+        kconsts = {
+            name: ref[:] for name, ref in zip(const_names, const_refs)
+        }
+
+        def body(_, carry):
+            return solver.subcycle_body(carry, kconsts, dt)
+
+        final = jax.lax.fori_loop(
+            0, n_subcycles, body, tuple(ref[:] for ref in in_state)
+        )
+        for ref, value in zip(out_state, final):
+            ref[:] = value
+
+    out_shapes = [jax.ShapeDtypeStruct(u.shape, u.dtype) for _ in range(5)]
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[vmem() for _ in range(len(const_names) + 5)],
+        out_specs=[vmem() for _ in range(5)],
+        interpret=interpret,
+    )(*const_arrays, u, v, s11, s22, s12)

@@ -115,9 +115,30 @@ def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False):
 
 
 class MEVPSolver:
-    def __init__(self, mesh: RectMesh, params: MEVPParams = MEVPParams()) -> None:
+    def __init__(
+        self,
+        mesh: RectMesh,
+        params: MEVPParams = MEVPParams(),
+        backend: str = "auto",
+    ) -> None:
+        """``backend``: 'auto' (fused Pallas kernel on TPU when the grid fits
+        VMEM, else XLA), 'xla', 'pallas', or 'pallas-interpret' (testing)."""
         self.mesh = mesh
         self.params = params
+        self.backend = backend
+
+    def _use_pallas(self) -> bool:
+        if self.backend in ("pallas", "pallas-interpret"):
+            return True
+        if self.backend == "xla":
+            return False
+        from .kernels.mevp_pallas import pallas_supported
+
+        import jax
+
+        return jax.default_backend() == "tpu" and pallas_supported(
+            self.mesh.nx, self.mesh.ny
+        )
 
     # -- per-element strain rates from CG1 velocity --------------------------
     def strain_rates(self, u, v):
@@ -173,7 +194,7 @@ class MEVPSolver:
         return fu, fv
 
     # -- one outer timestep: N mEVP subcycles --------------------------------
-    @partial(jax.jit, static_argnames=("self", "n_subcycles"))
+    @partial(jax.jit, static_argnames=("self", "dt", "n_subcycles"))
     def step(
         self,
         state: VelocityState,
@@ -204,66 +225,94 @@ class MEVPSolver:
         tau_av = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.v_atm
 
         u_n, v_n = state.u, state.v
-        alpha, beta = p.alpha, p.beta
-
-        def subcycle(_, carry):
-            u, v, s11, s22, s12 = carry
-
-            # 1. strain rates and Delta.
-            e11, e22, e12 = self.strain_rates(u, v)
-            delta = jnp.sqrt(
-                (e11 * e11 + e22 * e22) * (1.0 + 1.0 / e2)
-                + 2.0 * e11 * e22 * (1.0 - 1.0 / e2)
-                + 4.0 / e2 * e12 * e12
-            )
-            # Replacement pressure: P Delta/(Delta+Delta_min).
-            denom = delta + p.delta_min
-            zeta = 0.5 * strength / denom
-            eta = zeta / e2
-            p_rep = strength * delta / denom
-
-            # 2. VP stress and mEVP alpha-relaxation.
-            div = e11 + e22
-            s11_vp = 2.0 * eta * e11 + (zeta - eta) * div - 0.5 * p_rep
-            s22_vp = 2.0 * eta * e22 + (zeta - eta) * div - 0.5 * p_rep
-            s12_vp = 2.0 * eta * e12
-            s11 = s11 + (s11_vp - s11) / alpha
-            s22 = s22 + (s22_vp - s22) / alpha
-            s12 = s12 + (s12_vp - s12) / alpha
-
-            # 3. stress divergence -> nodal force per unit area.
-            fu, fv = self.stress_divergence(s11, s22, s12)
-            area = self.mesh.dx * self.mesh.dy
-            fu = fu / area
-            fv = fv / area
-
-            # 4. beta-relaxed velocity update, semi-implicit ocean drag.
-            rel_u = forcing.u_ocean - u
-            rel_v = forcing.v_ocean - v
-            c_w = p.rho_ocean * p.cd_ocean * jnp.hypot(rel_u, rel_v)
-            cor_u = p.f_coriolis * (v - forcing.v_ocean) if p.use_coriolis else 0.0
-            cor_v = -p.f_coriolis * (u - forcing.u_ocean) if p.use_coriolis else 0.0
-
-            dt_m = dt / m_safe
-            u_new = (
-                beta * u + u_n + dt_m * (fu + tau_au + c_w * forcing.u_ocean)
-                + dt * cor_u
-            ) / (1.0 + beta + dt_m * c_w)
-            v_new = (
-                beta * v + v_n + dt_m * (fv + tau_av + c_w * forcing.v_ocean)
-                + dt * cor_v
-            ) / (1.0 + beta + dt_m * c_w)
-
-            # 5. Dirichlet mask: land and ice-free nodes stay at rest.
-            active = mask * ice_node.astype(dtype)
-            u_new = u_new * active
-            v_new = v_new * active
-            return (u_new, v_new, s11, s22, s12)
-
-        u, v, s11, s22, s12 = jax.lax.fori_loop(
-            0, n_subcycles, subcycle, (state.u, state.v, state.s11, state.s22, state.s12)
+        active = mask * ice_node.astype(dtype)
+        consts = dict(
+            strength=strength, m_safe=m_safe, active=active,
+            tau_au=tau_au, tau_av=tau_av,
+            u_ocean=forcing.u_ocean, v_ocean=forcing.v_ocean,
+            u_n=u_n, v_n=v_n,
         )
+
+        carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
+        if self._use_pallas():
+            from .kernels.mevp_pallas import mevp_subcycles_pallas
+
+            u, v, s11, s22, s12 = mevp_subcycles_pallas(
+                self, carry0, consts, dt, n_subcycles,
+                interpret=(self.backend == "pallas-interpret"),
+            )
+        else:
+            def subcycle(_, carry):
+                return self.subcycle_body(carry, consts, dt)
+
+            u, v, s11, s22, s12 = jax.lax.fori_loop(
+                0, n_subcycles, subcycle, carry0
+            )
         return VelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)
+
+    def subcycle_body(self, carry, consts, dt):
+        """One mEVP subcycle — shared by the XLA path and the Pallas kernel.
+
+        ``carry``: (u, v, s11, s22, s12); ``consts``: per-step constant
+        fields (strength, m_safe, active mask, wind stress, ocean currents,
+        u_n/v_n at the outer-step start).
+        """
+        p = self.params
+        e2 = p.ellipse * p.ellipse
+        alpha, beta = p.alpha, p.beta
+        u, v, s11, s22, s12 = carry
+        strength = consts["strength"]
+        m_safe = consts["m_safe"]
+        active = consts["active"]
+        tau_au, tau_av = consts["tau_au"], consts["tau_av"]
+        u_ocean, v_ocean = consts["u_ocean"], consts["v_ocean"]
+        u_n, v_n = consts["u_n"], consts["v_n"]
+
+        # 1. strain rates and Delta.
+        e11, e22, e12 = self.strain_rates(u, v)
+        delta = jnp.sqrt(
+            (e11 * e11 + e22 * e22) * (1.0 + 1.0 / e2)
+            + 2.0 * e11 * e22 * (1.0 - 1.0 / e2)
+            + 4.0 / e2 * e12 * e12
+        )
+        # Replacement pressure: P Delta/(Delta+Delta_min).
+        denom = delta + p.delta_min
+        zeta = 0.5 * strength / denom
+        eta = zeta / e2
+        p_rep = strength * delta / denom
+
+        # 2. VP stress and mEVP alpha-relaxation.
+        div = e11 + e22
+        s11_vp = 2.0 * eta * e11 + (zeta - eta) * div - 0.5 * p_rep
+        s22_vp = 2.0 * eta * e22 + (zeta - eta) * div - 0.5 * p_rep
+        s12_vp = 2.0 * eta * e12
+        s11 = s11 + (s11_vp - s11) / alpha
+        s22 = s22 + (s22_vp - s22) / alpha
+        s12 = s12 + (s12_vp - s12) / alpha
+
+        # 3. stress divergence -> nodal force per unit area.
+        fu, fv = self.stress_divergence(s11, s22, s12)
+        area = self.mesh.dx * self.mesh.dy
+        fu = fu / area
+        fv = fv / area
+
+        # 4. beta-relaxed velocity update, semi-implicit ocean drag.
+        rel_u = u_ocean - u
+        rel_v = v_ocean - v
+        c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(rel_u * rel_u + rel_v * rel_v)
+        cor_u = p.f_coriolis * (v - v_ocean) if p.use_coriolis else 0.0
+        cor_v = -p.f_coriolis * (u - u_ocean) if p.use_coriolis else 0.0
+
+        dt_m = dt / m_safe
+        u_new = (
+            beta * u + u_n + dt_m * (fu + tau_au + c_w * u_ocean) + dt * cor_u
+        ) / (1.0 + beta + dt_m * c_w)
+        v_new = (
+            beta * v + v_n + dt_m * (fv + tau_av + c_w * v_ocean) + dt * cor_v
+        ) / (1.0 + beta + dt_m * c_w)
+
+        # 5. Dirichlet mask: land and ice-free nodes stay at rest.
+        return (u_new * active, v_new * active, s11, s22, s12)
 
     def boundary_mask(self, dtype=jnp.float32):
         """1 on interior owned nodes, 0 on no-slip walls.

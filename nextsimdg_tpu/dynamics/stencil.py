@@ -18,21 +18,26 @@ or zero-filled concatenations.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def shift_p(f, axis: int, periodic: bool):
-    """f[i+1] along ``axis``: the +1 neighbor; zero-filled when closed."""
+    """f[i+1] along ``axis``: the +1 neighbor; zero-filled when closed.
+
+    Static slices + concatenate (not gather) so the same code lowers both in
+    XLA and inside Pallas/Mosaic kernels.
+    """
     if periodic:
         return jnp.roll(f, -1, axis=axis)
-    moved = jnp.take(f, jnp.arange(1, f.shape[axis]), axis=axis)
-    pad = jnp.zeros_like(jnp.take(f, jnp.arange(0, 1), axis=axis))
-    return jnp.concatenate([moved, pad], axis=axis)
+    moved = lax.slice_in_dim(f, 1, f.shape[axis], axis=axis)
+    pad = jnp.zeros_like(lax.slice_in_dim(f, 0, 1, axis=axis))
+    return lax.concatenate([moved, pad], dimension=axis)
 
 
 def shift_m(f, axis: int, periodic: bool):
     """f[i-1] along ``axis``: the -1 neighbor; zero-filled when closed."""
     if periodic:
         return jnp.roll(f, 1, axis=axis)
-    moved = jnp.take(f, jnp.arange(0, f.shape[axis] - 1), axis=axis)
-    pad = jnp.zeros_like(jnp.take(f, jnp.arange(0, 1), axis=axis))
-    return jnp.concatenate([pad, moved], axis=axis)
+    moved = lax.slice_in_dim(f, 0, f.shape[axis] - 1, axis=axis)
+    pad = jnp.zeros_like(lax.slice_in_dim(f, 0, 1, axis=axis))
+    return lax.concatenate([pad, moved], dimension=axis)
