@@ -22,13 +22,15 @@ from .model_step import ModelStep
 class Model(Configured):
     DEFAULT_FINAL_FILENAME = "restart.nc"
 
-    # Config keys (Model.cpp:22-29).
+    # Config keys (Model.cpp:22-29) + checkpoint cadence (TPU extension).
     KEYS = {
         "init_file": "model.init_file",
         "start": "model.start",
         "stop": "model.stop",
         "run_length": "model.run_length",
         "time_step": "model.time_step",
+        "checkpoint_period": "model.checkpoint_period",
+        "checkpoint_pattern": "model.checkpoint_pattern",
     }
 
     def __init__(self) -> None:
@@ -46,6 +48,13 @@ class Model(Configured):
             duration = Configured.get_configuration(self.KEYS["run_length"], "")
             step = Configured.get_configuration(self.KEYS["time_step"], "1")
             self.iterator.parse_and_set(start, stop, duration, step)
+
+            self.model_step.checkpoint_period = int(
+                Configured.get_configuration(self.KEYS["checkpoint_period"], 0)
+            )
+            self.model_step.checkpoint_pattern = Configured.get_configuration(
+                self.KEYS["checkpoint_pattern"], "checkpoint.{step}.nc"
+            )
 
             self.initial_filename = Configured.get_configuration(
                 self.KEYS["init_file"], ""

@@ -30,6 +30,12 @@ class ModelStep(Iterant):
         self.physics = None
         self.new_ice = None
         self._jitted = None
+        #: Periodic checkpointing during long runs (0 = final restart only,
+        #: which is all the reference does); see Model config
+        #: ``model.checkpoint_period`` / ``model.checkpoint_pattern``.
+        self.checkpoint_period = 0
+        self.checkpoint_pattern = "checkpoint.{step}.nc"
+        self.step_count = 0
 
     # -- IModelStep (IModelStep.hpp:16-34) -----------------------------------
     def set_initial_data(self, structure: IStructure) -> None:
@@ -37,6 +43,8 @@ class ModelStep(Iterant):
         self.new_ice = jnp.zeros_like(structure.prognostic.hice)
 
     def init(self) -> None:
+        import nextsimdg_tpu.physics  # noqa: F401 - ensure modules registered
+
         loader = ModuleRegistry.get_loader()
         self.physics = loader.get_implementation("Nextsim::IPhysics1d")
         from ..config import try_configure
@@ -69,6 +77,12 @@ class ModelStep(Iterant):
         )
         self.structure.prognostic = prog
         self.new_ice = new_ice
+        self.step_count += 1
+        if self.checkpoint_period and self.step_count % self.checkpoint_period == 0:
+            from ..utils.timer import main_timer
+
+            with main_timer.scope("checkpoint-write"):
+                self.structure.dump(self.checkpoint_pattern.format(step=self.step_count))
 
     # -- on-device multi-step ------------------------------------------------
     def run_steps_scanned(self, n_steps: int, dt: float) -> None:

@@ -111,6 +111,68 @@ class PhysicsDiagnostics:
     h_ice_from_snow: jax.Array  #: ice formed by flooded snow [m]
 
 
+class PrognosticBuilder:
+    """Fluent builder for prognostic states.
+
+    SoA equivalent of ``PrognosticGenerator``
+    (``core/src/include/PrognosticGenerator.hpp:17-90``): each setter accepts
+    a scalar (broadcast over the grid) or a full array; ``build(nx, ny)``
+    assembles the :class:`PrognosticState`.
+    """
+
+    def __init__(self, nx: int, ny: int, nlayers: int = 1, dtype=None):
+        self._nx, self._ny, self._nlayers = nx, ny, nlayers
+        self._dtype = dtype if dtype is not None else jnp.float64
+        self._fields = {
+            "hice": 0.0, "cice": 0.0, "hsnow": 0.0, "sst": 0.0, "sss": 0.0,
+        }
+        self._tice = 0.0
+
+    def hice(self, value):
+        self._fields["hice"] = value
+        return self
+
+    def cice(self, value):
+        self._fields["cice"] = value
+        return self
+
+    def hsnow(self, value):
+        self._fields["hsnow"] = value
+        return self
+
+    def sst(self, value):
+        self._fields["sst"] = value
+        return self
+
+    def sss(self, value):
+        self._fields["sss"] = value
+        return self
+
+    def tice(self, value):
+        """Ice temperatures: scalar, (nlayers,) or (nlayers, nx, ny)."""
+        self._tice = value
+        return self
+
+    def build(self) -> PrognosticState:
+        shape = (self._nx, self._ny)
+        to_field = lambda v: jnp.broadcast_to(
+            jnp.asarray(v, dtype=self._dtype), shape
+        )
+        tice = jnp.asarray(self._tice, dtype=self._dtype)
+        if tice.ndim == 0:
+            tice = jnp.broadcast_to(tice, (self._nlayers, *shape))
+        elif tice.ndim == 1:
+            tice = jnp.broadcast_to(tice[:, None, None], (tice.shape[0], *shape))
+        return PrognosticState(
+            hice=to_field(self._fields["hice"]),
+            cice=to_field(self._fields["cice"]),
+            hsnow=to_field(self._fields["hsnow"]),
+            sst=to_field(self._fields["sst"]),
+            sss=to_field(self._fields["sss"]),
+            tice=tice,
+        )
+
+
 def safe_div(num: jax.Array, den: jax.Array) -> jax.Array:
     """num/den where den != 0, else 0 — grad-safe masked division."""
     nonzero = den != 0
