@@ -66,10 +66,15 @@ class CoupledModel:
         mevp_params: MEVPParams = MEVPParams(),
         n_subcycles: int = 100,
         physics: NextsimPhysics = None,
+        spmd=(None, None),
     ) -> None:
+        """``spmd``: device-mesh axis names when the model runs inside
+        shard_map on LOCAL blocks (see parallel.shardmap); default is the
+        single-program form, which GSPMD can also auto-shard."""
         self.mesh = mesh
-        self.transport = DGTransport(mesh, degree=degree)
-        self.mevp = MEVPSolver(mesh, mevp_params)
+        self.spmd = tuple(spmd)
+        self.transport = DGTransport(mesh, degree=degree, spmd=self.spmd)
+        self.mevp = MEVPSolver(mesh, mevp_params, spmd=self.spmd)
         self.n_subcycles = n_subcycles
         if physics is None:
             physics = NextsimPhysics()  # default modules, default parameters
@@ -123,7 +128,9 @@ class CoupledModel:
             )
 
             # 2. DG advection of the tracers with the CG velocity.
-            qv = velocity_from_cg(self.mesh, self.transport.basis, velocity.u, velocity.v)
+            qv = velocity_from_cg(
+                self.mesh, self.transport.basis, velocity.u, velocity.v, self.spmd
+            )
             hice = self.transport.step(hice, qv, dt)
             cice = self.transport.step(cice, qv, dt)
             hsnow = self.transport.step(hsnow, qv, dt)

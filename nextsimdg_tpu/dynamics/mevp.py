@@ -100,7 +100,7 @@ class DynamicsForcing:
         return cls(u_atm=nodes, v_atm=nodes, u_ocean=nodes, v_ocean=nodes)
 
 
-def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False):
+def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False, spmd=(None, None)):
     """Average the 4 adjacent element values to each owned node.
 
     Lumped-mass CG1 projection. Closed boundaries zero-fill the missing
@@ -108,9 +108,9 @@ def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False):
     """
     from .stencil import shift_m
 
-    cm_x = shift_m(cell, 0, periodic_x)
-    cm_y = shift_m(cell, 1, periodic_y)
-    cm_xy = shift_m(cm_x, 1, periodic_y)
+    cm_x = shift_m(cell, 0, periodic_x, spmd[0])
+    cm_y = shift_m(cell, 1, periodic_y, spmd[1])
+    cm_xy = shift_m(cm_x, 1, periodic_y, spmd[1])
     return 0.25 * (cell + cm_x + cm_y + cm_xy)
 
 
@@ -120,14 +120,22 @@ class MEVPSolver:
         mesh: RectMesh,
         params: MEVPParams = MEVPParams(),
         backend: str = "auto",
+        spmd=(None, None),
     ) -> None:
         """``backend``: 'auto' (fused Pallas kernel on TPU when the grid fits
-        VMEM, else XLA), 'xla', 'pallas', or 'pallas-interpret' (testing)."""
+        VMEM, else XLA), 'xla', 'pallas', or 'pallas-interpret' (testing).
+        ``spmd``: mesh axis names when running inside shard_map (halo
+        exchange per subcycle via ppermute); forces the XLA path."""
         self.mesh = mesh
         self.params = params
         self.backend = backend
+        self.spmd = tuple(spmd)
 
     def _use_pallas(self) -> bool:
+        if any(axis is not None for axis in self.spmd):
+            # Cross-device halos inside the fused kernel need remote DMA;
+            # under shard_map use the XLA path (ppermute halos per subcycle).
+            return False
         if self.backend in ("pallas", "pallas-interpret"):
             return True
         if self.backend == "xla":
@@ -150,12 +158,13 @@ class MEVPSolver:
         from .stencil import shift_p
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ax_x, ax_y = self.spmd
         dx, dy = self.mesh.dx, self.mesh.dy
         u00, v00 = u, v
-        u10, v10 = shift_p(u, 0, px), shift_p(v, 0, px)
-        u01, v01 = shift_p(u, 1, py), shift_p(v, 1, py)
-        u11 = shift_p(u10, 1, py)
-        v11 = shift_p(v10, 1, py)
+        u10, v10 = shift_p(u, 0, px, ax_x), shift_p(v, 0, px, ax_x)
+        u01, v01 = shift_p(u, 1, py, ax_y), shift_p(v, 1, py, ax_y)
+        u11 = shift_p(u10, 1, py, ax_y)
+        v11 = shift_p(v10, 1, py, ax_y)
         du_dx = 0.5 * ((u10 - u00) + (u11 - u01)) / dx
         dv_dy = 0.5 * ((v01 - v00) + (v11 - v10)) / dy
         du_dy = 0.5 * ((u01 - u00) + (u11 - u10)) / dy
@@ -174,19 +183,20 @@ class MEVPSolver:
         from .stencil import shift_m
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ax_x, ax_y = self.spmd
         dx, dy = self.mesh.dx, self.mesh.dy
 
         def scatter_x(cell):
-            cm_x = shift_m(cell, 0, px)
-            cm_y = shift_m(cell, 1, py)
-            cm_xy = shift_m(cm_x, 1, py)
+            cm_x = shift_m(cell, 0, px, ax_x)
+            cm_y = shift_m(cell, 1, py, ax_y)
+            cm_xy = shift_m(cm_x, 1, py, ax_y)
             # + for elements left of the node, - for elements right of it.
             return 0.5 * dy * ((cm_xy + cm_x) - (cm_y + cell))
 
         def scatter_y(cell):
-            cm_x = shift_m(cell, 0, px)
-            cm_y = shift_m(cell, 1, py)
-            cm_xy = shift_m(cm_x, 1, py)
+            cm_x = shift_m(cell, 0, px, ax_x)
+            cm_y = shift_m(cell, 1, py, ax_y)
+            cm_xy = shift_m(cm_x, 1, py, ax_y)
             return 0.5 * dx * ((cm_xy + cm_y) - (cm_x + cell))
 
         fu = scatter_x(s11) + scatter_y(s12)
@@ -214,7 +224,7 @@ class MEVPSolver:
 
         # Lumped nodal ice mass per unit area [kg m-2], clamped for stability.
         m_node = p.rho_ice * cell_to_node(
-            h, self.mesh.periodic_x, self.mesh.periodic_y
+            h, self.mesh.periodic_x, self.mesh.periodic_y, self.spmd
         )
         ice_node = m_node > p.min_ice_mass
         m_safe = jnp.maximum(m_node, p.min_ice_mass)
@@ -318,14 +328,28 @@ class MEVPSolver:
         """1 on interior owned nodes, 0 on no-slip walls.
 
         Closed axes pin the stored i=0 / j=0 nodes (the i=nx / j=ny nodes
-        are implicit and always zero); periodic axes have no walls.
+        are implicit and always zero); periodic axes have no walls. Inside
+        shard_map only the GLOBAL first block's edge row/col is a wall.
         """
-        nx, ny = self.mesh.nx, self.mesh.ny
-        import numpy as np
+        from .stencil import is_global_edge
 
-        mask = np.ones((nx, ny))
+        nx, ny = self.mesh.nx, self.mesh.ny
+        ax_x, ax_y = self.spmd
+        if ax_x is None and ax_y is None:
+            import numpy as np
+
+            mask = np.ones((nx, ny))
+            if not self.mesh.periodic_x:
+                mask[0, :] = 0.0
+            if not self.mesh.periodic_y:
+                mask[:, 0] = 0.0
+            return jnp.asarray(mask, dtype=dtype)
+
+        mask = jnp.ones((nx, ny), dtype=dtype)
         if not self.mesh.periodic_x:
-            mask[0, :] = 0.0
+            row0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0) == 0
+            mask = jnp.where(row0 & is_global_edge(ax_x, "first"), 0.0, mask)
         if not self.mesh.periodic_y:
-            mask[:, 0] = 0.0
-        return jnp.asarray(mask, dtype=dtype)
+            col0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1) == 0
+            mask = jnp.where(col0 & is_global_edge(ax_y, "first"), 0.0, mask)
+        return mask

@@ -17,27 +17,71 @@ or zero-filled concatenations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def shift_p(f, axis: int, periodic: bool):
+def _ring_perm(axis_name: str, direction: int):
+    """Ring permutation along a mesh axis: send my slice to neighbor."""
+    size = lax.axis_size(axis_name)
+    return [(i, (i + direction) % size) for i in range(size)]
+
+
+def shift_p(f, axis: int, periodic: bool, axis_name: str = None):
     """f[i+1] along ``axis``: the +1 neighbor; zero-filled when closed.
 
     Static slices + concatenate (not gather) so the same code lowers both in
     XLA and inside Pallas/Mosaic kernels.
+
+    With ``axis_name`` (inside ``shard_map``): the array is a local block of
+    a domain sharded along that mesh axis; the missing last slice comes from
+    the +1 neighbor device via a halo ``ppermute`` over ICI (the rightmost
+    device receives zeros when the global boundary is closed, or wraps when
+    periodic).
     """
-    if periodic:
-        return jnp.roll(f, -1, axis=axis)
+    if axis_name is None:
+        if periodic:
+            return jnp.roll(f, -1, axis=axis)
+        moved = lax.slice_in_dim(f, 1, f.shape[axis], axis=axis)
+        pad = jnp.zeros_like(lax.slice_in_dim(f, 0, 1, axis=axis))
+        return lax.concatenate([moved, pad], dimension=axis)
+
     moved = lax.slice_in_dim(f, 1, f.shape[axis], axis=axis)
-    pad = jnp.zeros_like(lax.slice_in_dim(f, 0, 1, axis=axis))
-    return lax.concatenate([moved, pad], dimension=axis)
+    # My first slice travels to my -1 neighbor == I receive my +1 neighbor's.
+    edge = lax.slice_in_dim(f, 0, 1, axis=axis)
+    recv = lax.ppermute(edge, axis_name, perm=_ring_perm(axis_name, -1))
+    if not periodic:
+        is_last = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
+        recv = jnp.where(is_last, jnp.zeros_like(recv), recv)
+    return lax.concatenate([moved, recv], dimension=axis)
 
 
-def shift_m(f, axis: int, periodic: bool):
+def shift_m(f, axis: int, periodic: bool, axis_name: str = None):
     """f[i-1] along ``axis``: the -1 neighbor; zero-filled when closed."""
-    if periodic:
-        return jnp.roll(f, 1, axis=axis)
+    if axis_name is None:
+        if periodic:
+            return jnp.roll(f, 1, axis=axis)
+        moved = lax.slice_in_dim(f, 0, f.shape[axis] - 1, axis=axis)
+        pad = jnp.zeros_like(lax.slice_in_dim(f, 0, 1, axis=axis))
+        return lax.concatenate([pad, moved], dimension=axis)
+
     moved = lax.slice_in_dim(f, 0, f.shape[axis] - 1, axis=axis)
-    pad = jnp.zeros_like(lax.slice_in_dim(f, 0, 1, axis=axis))
-    return lax.concatenate([pad, moved], dimension=axis)
+    edge = lax.slice_in_dim(f, f.shape[axis] - 1, f.shape[axis], axis=axis)
+    recv = lax.ppermute(edge, axis_name, perm=_ring_perm(axis_name, +1))
+    if not periodic:
+        is_first = lax.axis_index(axis_name) == 0
+        recv = jnp.where(is_first, jnp.zeros_like(recv), recv)
+    return lax.concatenate([recv, moved], dimension=axis)
+
+
+def is_global_edge(axis_name: str, side: str):
+    """Whether this shard owns the global first/last block along the axis.
+
+    Returns a traced bool inside shard_map, or a static True outside.
+    """
+    if axis_name is None:
+        return True
+    if side == "first":
+        return lax.axis_index(axis_name) == 0
+    return lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1

@@ -82,24 +82,26 @@ def sample_velocity(mesh: RectMesh, basis: DGBasis, fn: Callable, dtype=jnp.floa
     )
 
 
-def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v) -> QuadVelocity:
+def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v, spmd=(None, None)) -> QuadVelocity:
     """Sample a CG1 nodal velocity at quad points (owned-node layout).
 
     ``u, v`` are (nx, ny) owned-node arrays (see dynamics.stencil); bilinear
     interpolation within each element, single-valued on shared faces.
+    ``spmd``: mesh axis names when called inside shard_map.
     """
     from .stencil import shift_p
 
     px, py = mesh.periodic_x, mesh.periodic_y
+    ax_x, ax_y = spmd
     xi = jnp.asarray(basis.xq_vol)[:, None, None]
     eta = jnp.asarray(basis.yq_vol)[:, None, None]
     s = jnp.asarray(basis.s_edge)
 
     def bilinear(f):
         f00 = f[None]
-        f10 = shift_p(f, 0, px)[None]
-        f01 = shift_p(f, 1, py)[None]
-        f11 = shift_p(shift_p(f, 0, px), 1, py)[None]
+        f10 = shift_p(f, 0, px, ax_x)[None]
+        f01 = shift_p(f, 1, py, ax_y)[None]
+        f11 = shift_p(shift_p(f, 0, px, ax_x), 1, py, ax_y)[None]
         return (
             f00 * (1 - xi) * (1 - eta)
             + f10 * xi * (1 - eta)
@@ -111,17 +113,27 @@ def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v) -> QuadVelocity:
     vy_vol = bilinear(v)
     # Left face of element i: linear in y between nodes (i, j) and (i, j+1).
     se = s[:, None, None]
-    vn_x = u[None] * (1 - se) + shift_p(u, 1, py)[None] * se  # (NE, nx, ny)
-    vn_y = v[None] * (1 - se) + shift_p(v, 0, px)[None] * se  # (NE, nx, ny)
+    vn_x = u[None] * (1 - se) + shift_p(u, 1, py, ax_y)[None] * se  # (NE, nx, ny)
+    vn_y = v[None] * (1 - se) + shift_p(v, 0, px, ax_x)[None] * se  # (NE, nx, ny)
     return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
 
 
 class DGTransport:
-    """The transport operator for one mesh + DG degree + time scheme."""
+    """The transport operator for one mesh + DG degree + time scheme.
 
-    def __init__(self, mesh: RectMesh, degree: int = 1, scheme: str = None) -> None:
+    ``spmd=(x_axis, y_axis)``: mesh axis names when running inside
+    ``shard_map`` over a device mesh — neighbor access then halo-exchanges
+    block edges via ``ppermute`` (see dynamics.stencil). ``mesh`` describes
+    the LOCAL block shape in that case.
+    """
+
+    def __init__(
+        self, mesh: RectMesh, degree: int = 1, scheme: str = None,
+        spmd=(None, None),
+    ) -> None:
         self.mesh = mesh
         self.basis = dg_basis(degree)
+        self.spmd = tuple(spmd)
         #: SSP-RK order matched to spatial order by default (nextsimdg-style).
         self.scheme = scheme or {0: "rk1", 1: "rk2", 2: "rk3"}[degree]
         b = self.basis
@@ -163,20 +175,25 @@ class DGTransport:
         volume = gx + gy
 
         # Upwind edge fluxes, x-direction (owned left-face edges).
-        from .stencil import shift_m, shift_p
+        from .stencil import is_global_edge, shift_m, shift_p
 
         px, py = mesh.periodic_x, mesh.periodic_y
+        ax_x, ax_y = self.spmd
         tr_x1 = jnp.einsum("kq,kxy->qxy", self._psi_x1.astype(dtype), psi)  # right face
         tr_x0 = jnp.einsum("kq,kxy->qxy", self._psi_x0.astype(dtype), psi)  # left face
         # Face i sits between elements i-1 (left) and i (right).
-        left_of_edge = shift_m(tr_x1, 1, px)
+        left_of_edge = shift_m(tr_x1, 1, px, ax_x)
         upwinded = jnp.where(vel.vn_x >= 0, left_of_edge, tr_x0)
         g_x = self._w_edge.astype(dtype)[:, None, None] * vel.vn_x * upwinded
         if not px:
-            # Closed domain: the i=0 face is an impermeable wall.
-            g_x = g_x * self._wall_x.astype(dtype)
+            # Closed domain: the global i=0 face is an impermeable wall.
+            if ax_x is None:
+                g_x = g_x * self._wall_x.astype(dtype)
+            else:
+                face0 = jax.lax.broadcasted_iota(jnp.int32, g_x.shape, 1) == 0
+                g_x = jnp.where(face0 & is_global_edge(ax_x, "first"), 0.0, g_x)
         # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
-        g_right = shift_p(g_x, 1, px)
+        g_right = shift_p(g_x, 1, px, ax_x)
         edge_x = (
             jnp.einsum("kq,qxy->kxy", self._psi_x1.astype(dtype), g_right)
             - jnp.einsum("kq,qxy->kxy", self._psi_x0.astype(dtype), g_x)
@@ -185,12 +202,16 @@ class DGTransport:
         # Upwind edge fluxes, y-direction (owned bottom-face edges).
         tr_y1 = jnp.einsum("kq,kxy->qxy", self._psi_y1.astype(dtype), psi)  # top face
         tr_y0 = jnp.einsum("kq,kxy->qxy", self._psi_y0.astype(dtype), psi)  # bottom
-        below = shift_m(tr_y1, 2, py)
+        below = shift_m(tr_y1, 2, py, ax_y)
         upwinded_y = jnp.where(vel.vn_y >= 0, below, tr_y0)
         g_y = self._w_edge.astype(dtype)[:, None, None] * vel.vn_y * upwinded_y
         if not py:
-            g_y = g_y * self._wall_y.astype(dtype)
-        g_top = shift_p(g_y, 2, py)
+            if ax_y is None:
+                g_y = g_y * self._wall_y.astype(dtype)
+            else:
+                face0 = jax.lax.broadcasted_iota(jnp.int32, g_y.shape, 2) == 0
+                g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
+        g_top = shift_p(g_y, 2, py, ax_y)
         edge_y = (
             jnp.einsum("kq,qxy->kxy", self._psi_y1.astype(dtype), g_top)
             - jnp.einsum("kq,qxy->kxy", self._psi_y0.astype(dtype), g_y)

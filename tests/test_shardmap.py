@@ -1,0 +1,75 @@
+"""Explicit shard_map (ppermute-halo) path: must match single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nextsimdg_tpu.coupled import CoupledModel
+from nextsimdg_tpu.dynamics import RectMesh
+from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+from nextsimdg_tpu.parallel import make_spatial_mesh
+from nextsimdg_tpu.parallel.shardmap import build_sharded_coupled_model
+from nextsimdg_tpu.state import Forcing
+
+
+def global_setup(n=16, periodic=False, dtype=jnp.float64):
+    mesh = RectMesh(
+        nx=n, ny=n, dx=512e3 / n, dy=512e3 / n,
+        periodic_x=periodic, periodic_y=periodic,
+    )
+    model = CoupledModel(mesh, degree=1, n_subcycles=10)
+    state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype)
+    full = lambda v: jnp.full((n, n), v, dtype=dtype)
+    pf = Forcing(
+        tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
+        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0),
+    )
+    df = DynamicsForcing(
+        u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    return mesh, model, state, pf, df
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_shardmap_step_matches_single_device(periodic):
+    mesh, ref_model, state, pf, df = global_setup(n=16, periodic=periodic)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    _, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10
+    )
+    got = sharded_step(state, pf, df, 600.0)
+
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-12
+        )
+
+
+def test_shardmap_multi_step_stays_consistent():
+    mesh, ref_model, state, pf, df = global_setup(n=16)
+    expected = state
+    for _ in range(3):
+        expected = ref_model.step(expected, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((2, 4))
+    _, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10
+    )
+    got = state
+    for _ in range(3):
+        got = sharded_step(got, pf, df, 600.0)
+
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11
+        )
+
+
+def test_shardmap_rejects_indivisible_grid():
+    mesh, _, _, _, _ = global_setup(n=10)
+    device_mesh = make_spatial_mesh((4, 2))
+    with pytest.raises(ValueError):
+        build_sharded_coupled_model(mesh, device_mesh)
