@@ -1,0 +1,239 @@
+"""Benchmark suite covering the five BASELINE.json configurations.
+
+Usage: ``python benchmarks/run_benchmarks.py [config ...]``
+Configs: dev1, advection, box, coupled_1m, multihost_16m, all (default: the
+fast subset dev1+advection+box). Each result prints as one JSON line.
+
+All timed regions are pre-compiled fixed-size ``lax.scan`` chunks, so
+neither compilation nor per-dispatch RPC latency is measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _timed_chunk(run, state, chunk):
+    import jax
+
+    state = jax.block_until_ready(run(state))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(run(state))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_dev1() -> dict:
+    """Thermodynamics-only column physics throughput (dev1 physics, big grid).
+
+    The reference's dev1 is a 10x10 correctness run; for a throughput number
+    the same physics runs on 512x512 columns.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from nextsimdg_tpu.physics import NextsimPhysics
+    from nextsimdg_tpu.state import dummy_forcing, PrognosticBuilder
+
+    n = 512
+    dtype = jnp.float32
+    phys = NextsimPhysics()
+    phys.configure()
+    prog = (
+        PrognosticBuilder(n, n, nlayers=1, dtype=dtype)
+        .hice(0.1).cice(0.5).hsnow(0.0).sst(-1.0).sss(32.0).tice(-1.0)
+        .build()
+    )
+    forcing = dummy_forcing(n, n, dtype=dtype)
+    new_ice = jnp.zeros((n, n), dtype)
+    chunk = 200
+
+    @partial(jax.jit, static_argnames=())
+    def run(carry):
+        def body(c, _):
+            p, ni = c
+            updated, diags = phys.step(p, forcing, ni, 600.0)
+            return (updated, diags.new_ice), None
+
+        out, _ = jax.lax.scan(body, carry, None, length=chunk)
+        return out
+
+    best = _timed_chunk(run, (prog, new_ice), chunk)
+    return {
+        "metric": "thermo column updates/s (dev1 physics, 512x512, f32)",
+        "value": float(f"{n * n * chunk / best:.4g}"),
+        "unit": "columns/s",
+    }
+
+
+def bench_advection(n=128, degree=2) -> dict:
+    """BASELINE config 2: solid-body rotation, 128x128, dG1/dG2."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from nextsimdg_tpu.dynamics import DGTransport, RectMesh
+    from nextsimdg_tpu.dynamics.transport import sample_velocity
+
+    mesh = RectMesh(nx=n, ny=n, dx=1.0 / n, dy=1.0 / n)
+    tr = DGTransport(mesh, degree=degree)
+    vel = sample_velocity(
+        mesh, tr.basis,
+        lambda x, y: (-2 * np.pi * (y - 0.5), 2 * np.pi * (x - 0.5)),
+        dtype=jnp.float32,
+    )
+    psi = tr.project(
+        lambda x, y: np.exp(-((x - 0.5) ** 2 + (y - 0.7) ** 2) / 0.01),
+        dtype=jnp.float32,
+    )
+    dt = 0.2 / (n * 2 * np.pi)
+    chunk = 400
+
+    @partial(jax.jit, static_argnames=())
+    def run(p):
+        def body(c, _):
+            return tr.step(c, vel, dt), None
+
+        out, _ = jax.lax.scan(body, p, None, length=chunk)
+        return out
+
+    best = _timed_chunk(run, psi, chunk)
+    return {
+        "metric": f"DG advection element updates/s (dG{degree}, {n}x{n}, f32)",
+        "value": float(f"{n * n * chunk / best:.4g}"),
+        "unit": "elements/s",
+    }
+
+
+def bench_box(n=256, n_subcycles=100) -> dict:
+    """BASELINE config 3: wind-driven box, 100 mEVP subcycles, thermo off."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.state import Forcing
+
+    dtype = jnp.float32
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    model = CoupledModel(mesh, degree=1, n_subcycles=n_subcycles)
+    state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype)
+    full = lambda v: jnp.full((n, n), v, dtype)
+    pf = Forcing(tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
+                 lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0))
+    df = DynamicsForcing(u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02),
+                         v_ocean=full(0.0))
+    chunk = 128
+    run = lambda s: model.run(s, pf, df, 600.0, chunk, do_thermo=False)
+    best = _timed_chunk(run, state, chunk)
+    return {
+        "metric": f"mEVP box element updates/s ({n}x{n}, {n_subcycles} subcycles, f32)",
+        "value": float(f"{n * n * chunk / best:.4g}"),
+        "unit": "elements/s",
+    }
+
+
+def bench_coupled_1m(n=1024) -> dict:
+    """BASELINE config 4: coupled thermo+dynamics, ~1M elements."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.state import Forcing
+
+    dtype = jnp.float32
+    mesh = RectMesh(nx=n, ny=n, dx=4e3, dy=4e3)
+    model = CoupledModel(mesh, degree=1, n_subcycles=100)
+    state = model.initial_state(hice0=1.2, cice0=0.95, hsnow0=0.1, dtype=dtype)
+    full = lambda v: jnp.full((n, n), v, dtype)
+    pf = Forcing(tair=full(-15.0), dew2m=full(-17.0), pair=full(1e5), sw_in=full(5.0),
+                 lw_in=full(240.0), mld=full(10.0), snowfall=full(1e-4), wind=full(6.0))
+    df = DynamicsForcing(u_atm=full(6.0), v_atm=full(3.0), u_ocean=full(0.02),
+                         v_ocean=full(0.0))
+    chunk = 16
+    run = lambda s: model.run(s, pf, df, 600.0, chunk)
+    best = _timed_chunk(run, state, chunk)
+    return {
+        "metric": f"coupled thermo+dynamics element updates/s ({n}x{n} ~1M elements, f32)",
+        "value": float(f"{n * n * chunk / best:.4g}"),
+        "unit": "elements/s",
+    }
+
+
+def bench_multihost_16m() -> dict:
+    """BASELINE config 5 (structure): 16M elements sharded over all devices.
+
+    On a pod slice this runs multi-chip/multi-host (same code path); on one
+    chip it reports single-device throughput at 4096x4096.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.parallel import SpatialPartition, make_spatial_mesh
+    from nextsimdg_tpu.state import Forcing
+
+    n = 4096
+    dtype = jnp.float32
+    mesh = RectMesh(nx=n, ny=n, dx=2e3, dy=2e3)
+    model = CoupledModel(mesh, degree=1, n_subcycles=100)
+    state = model.initial_state(hice0=1.2, cice0=0.95, hsnow0=0.1, dtype=dtype)
+    full = lambda v: jnp.full((n, n), v, dtype)
+    pf = Forcing(tair=full(-15.0), dew2m=full(-17.0), pair=full(1e5), sw_in=full(5.0),
+                 lw_in=full(240.0), mld=full(10.0), snowfall=full(1e-4), wind=full(6.0))
+    df = DynamicsForcing(u_atm=full(6.0), v_atm=full(3.0), u_ocean=full(0.02),
+                         v_ocean=full(0.0))
+
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        part = SpatialPartition(make_spatial_mesh())
+        state = part.shard(state)
+        pf = part.shard(pf)
+        df = part.shard(df)
+
+    chunk = 4
+    run = lambda s: model.run(s, pf, df, 600.0, chunk)
+    best = _timed_chunk(run, state, chunk)
+    return {
+        "metric": f"full model element updates/s ({n}x{n} ~16M elements, {n_dev} devices, f32)",
+        "value": float(f"{n * n * chunk / best:.4g}"),
+        "unit": "elements/s",
+    }
+
+
+CONFIGS = {
+    "dev1": bench_dev1,
+    "advection": bench_advection,
+    "box": bench_box,
+    "coupled_1m": bench_coupled_1m,
+    "multihost_16m": bench_multihost_16m,
+}
+
+
+def main(argv) -> None:
+    names = argv[1:] or ["dev1", "advection", "box"]
+    if names == ["all"]:
+        names = list(CONFIGS)
+    for name in names:
+        result = CONFIGS[name]()
+        result["config"] = name
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv)

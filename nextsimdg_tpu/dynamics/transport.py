@@ -93,9 +93,10 @@ def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v, spmd=(None, None)) ->
 
     px, py = mesh.periodic_x, mesh.periodic_y
     ax_x, ax_y = spmd
-    xi = jnp.asarray(basis.xq_vol)[:, None, None]
-    eta = jnp.asarray(basis.yq_vol)[:, None, None]
-    s = jnp.asarray(basis.s_edge)
+    dtype = u.dtype
+    xi = jnp.asarray(basis.xq_vol, dtype=dtype)[:, None, None]
+    eta = jnp.asarray(basis.yq_vol, dtype=dtype)[:, None, None]
+    s = jnp.asarray(basis.s_edge, dtype=dtype)
 
     def bilinear(f):
         f00 = f[None]
