@@ -127,13 +127,14 @@ class CoupledModel:
                 velocity, h_mean, a_mean, dyn_forcing, mask, dt, self.n_subcycles
             )
 
-            # 2. DG advection of the tracers with the CG velocity.
+            # 2. DG advection of the tracers with the CG velocity, with
+            # pointwise positivity limiting (Zhang-Shu) per RK stage.
             qv = velocity_from_cg(
                 self.mesh, self.transport.basis, velocity.u, velocity.v, self.spmd
             )
-            hice = self.transport.step(hice, qv, dt)
-            cice = self.transport.step(cice, qv, dt)
-            hsnow = self.transport.step(hsnow, qv, dt)
+            hice = self.transport.step(hice, qv, dt, limit=True)
+            cice = self.transport.step(cice, qv, dt, limit=True)
+            hsnow = self.transport.step(hsnow, qv, dt, limit=True)
 
             # 3. bounds: means clamped, higher moments scaled accordingly.
             hice = _clamp_dg(hice, 0.0, None)

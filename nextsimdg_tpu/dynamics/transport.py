@@ -220,18 +220,49 @@ class DGTransport:
 
         return self._inv_mass.astype(dtype)[:, None, None] * (volume - edge_x - edge_y)
 
+    # -- positivity limiting (Zhang & Shu) -----------------------------------
+    def limit_positivity(self, psi):
+        """Scale higher DG moments so pointwise values stay >= 0.
+
+        Zhang-Shu-type linear scaling about the (conserved, assumed
+        nonnegative) cell mean: evaluates the polynomial at the volume
+        quadrature points and all face quadrature points, and shrinks the
+        deviation from the mean by theta = min(1, mean / (mean - min)).
+        Conservative (the mean is untouched) and a no-op where the minimum
+        is already nonnegative.
+        """
+        if self.basis.n_dofs == 1:
+            return psi
+        dtype = psi.dtype
+        mean = psi[0]
+        mins = None
+        for table in (self._psi_vol, self._psi_x0, self._psi_x1, self._psi_y0, self._psi_y1):
+            values = jnp.einsum("kq,kxy->qxy", table.astype(dtype), psi)
+            m = jnp.min(values, axis=0)
+            mins = m if mins is None else jnp.minimum(mins, m)
+        deficit = mean - mins  # > 0 when the polynomial dips below the mean
+        theta = jnp.where(
+            mins < 0.0,
+            jnp.clip(mean / jnp.where(deficit > 0, deficit, 1.0), 0.0, 1.0),
+            1.0,
+        )
+        return jnp.concatenate([mean[None], psi[1:] * theta[None]], axis=0)
+
     # -- SSP-RK time stepping ------------------------------------------------
-    def step(self, psi, vel: QuadVelocity, dt):
-        """One SSP-RK step of the registered order."""
+    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False):
+        """One SSP-RK step; ``limit`` applies the positivity limiter after
+        every RK stage (SSP keeps the limited property through the convex
+        combinations)."""
+        lim = self.limit_positivity if limit else (lambda p: p)
         if self.scheme == "rk1":
-            return psi + dt * self.rhs(psi, vel)
+            return lim(psi + dt * self.rhs(psi, vel))
         if self.scheme == "rk2":
-            psi1 = psi + dt * self.rhs(psi, vel)
-            return 0.5 * psi + 0.5 * (psi1 + dt * self.rhs(psi1, vel))
+            psi1 = lim(psi + dt * self.rhs(psi, vel))
+            return lim(0.5 * psi + 0.5 * (psi1 + dt * self.rhs(psi1, vel)))
         if self.scheme == "rk3":
-            psi1 = psi + dt * self.rhs(psi, vel)
-            psi2 = 0.75 * psi + 0.25 * (psi1 + dt * self.rhs(psi1, vel))
-            return psi / 3.0 + 2.0 / 3.0 * (psi2 + dt * self.rhs(psi2, vel))
+            psi1 = lim(psi + dt * self.rhs(psi, vel))
+            psi2 = lim(0.75 * psi + 0.25 * (psi1 + dt * self.rhs(psi1, vel)))
+            return lim(psi / 3.0 + 2.0 / 3.0 * (psi2 + dt * self.rhs(psi2, vel)))
         raise ValueError(f"unknown scheme {self.scheme}")
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
