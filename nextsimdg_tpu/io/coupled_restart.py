@@ -1,0 +1,70 @@
+"""Checkpoint/resume for the full coupled model state.
+
+The reference restart schema carries only the thermodynamic prognostics;
+the coupled dynamical model additionally needs the DG tracer moments, the
+CG velocity and the element stresses (mEVP is a pseudo-time iteration whose
+warm start matters). Structure type ``"coupled_dg"``: group ``structure``
+(attrs ``type``, ``dg_dofs``, ``nlayers``) + group ``state`` with one
+dataset per pytree leaf.
+"""
+
+from __future__ import annotations
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from ..coupled import CoupledState
+from ..dynamics.mevp import VelocityState
+
+STRUCTURE_TYPE = "coupled_dg"
+
+_LEAVES = (
+    "hice", "cice", "hsnow", "sst", "sss", "tice", "new_ice",
+    "velocity/u", "velocity/v", "velocity/s11", "velocity/s22", "velocity/s12",
+)
+
+
+def _get(state: CoupledState, path: str):
+    obj = state
+    for part in path.split("/"):
+        obj = getattr(obj, part)
+    return obj
+
+
+def save_coupled_state(path: str, state: CoupledState, time: float = 0.0) -> None:
+    with h5py.File(path, "w") as handle:
+        meta = handle.create_group("structure")
+        meta.attrs.create("type", np.bytes_(STRUCTURE_TYPE))
+        meta.attrs.create("dg_dofs", np.int64(state.n_dg_dofs))
+        meta.attrs.create("nlayers", np.int64(state.tice.shape[0]))
+        meta.attrs.create("time", float(time))
+        group = handle.create_group("state")
+        for leaf in _LEAVES:
+            group.create_dataset(
+                leaf, data=np.asarray(_get(state, leaf), dtype=np.float64)
+            )
+
+
+def load_coupled_state(path: str, dtype=jnp.float32) -> CoupledState:
+    with h5py.File(path, "r") as handle:
+        stype = handle["structure"].attrs["type"]
+        stype = stype.decode() if isinstance(stype, bytes) else str(stype)
+        if stype != STRUCTURE_TYPE:
+            raise ValueError(f"not a coupled_dg checkpoint: {stype}")
+        group = handle["state"]
+        data = {leaf: jnp.asarray(np.asarray(group[leaf]), dtype=dtype) for leaf in _LEAVES}
+    velocity = VelocityState(
+        u=data["velocity/u"], v=data["velocity/v"],
+        s11=data["velocity/s11"], s22=data["velocity/s22"], s12=data["velocity/s12"],
+    )
+    return CoupledState(
+        hice=data["hice"], cice=data["cice"], hsnow=data["hsnow"],
+        sst=data["sst"], sss=data["sss"], tice=data["tice"],
+        velocity=velocity, new_ice=data["new_ice"],
+    )
+
+
+def load_time(path: str) -> float:
+    with h5py.File(path, "r") as handle:
+        return float(handle["structure"].attrs["time"])
