@@ -28,8 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: VMEM budget for the fused kernel [bytes]; leave headroom for temporaries.
 _VMEM_BUDGET = 12 * 1024 * 1024
-#: Fields held resident: 9 constants + 5 state + ~8 live temporaries.
-_RESIDENT_FIELDS = 22
+#: Fields held resident: 7 constants + 5 state + ~8 live temporaries.
+_RESIDENT_FIELDS = 20
 
 
 def pallas_supported(nx: int, ny: int, itemsize: int = 4) -> bool:
@@ -48,8 +48,7 @@ def mevp_subcycles_pallas(
     """Run n_subcycles fused in one Pallas call; returns (u, v, s11, s22, s12)."""
     u, v, s11, s22, s12 = state_arrays
     const_names = (
-        "strength", "m_safe", "active", "tau_au", "tau_av",
-        "u_ocean", "v_ocean", "u_n", "v_n",
+        "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
     )
     const_arrays = [consts[name] for name in const_names]
 

@@ -131,22 +131,34 @@ class MEVPSolver:
         self.backend = backend
         self.spmd = tuple(spmd)
 
-    def _use_pallas(self) -> bool:
+    def _kernel_choice(self) -> str:
+        """'single' (VMEM-resident fused), 'tiled' (temporal blocking) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
-            # Cross-device halos inside the fused kernel need remote DMA;
+            # Cross-device halos inside a fused kernel need remote DMA;
             # under shard_map use the XLA path (ppermute halos per subcycle).
-            return False
+            return "xla"
         if self.backend in ("pallas", "pallas-interpret"):
-            return True
+            return "single"
+        if self.backend in ("pallas-tiled", "pallas-tiled-interpret"):
+            return "tiled"
         if self.backend == "xla":
-            return False
+            return "xla"
         from .kernels.mevp_pallas import pallas_supported
+        from .kernels.mevp_tiled import tiled_supported
 
         import jax
 
-        return jax.default_backend() == "tpu" and pallas_supported(
-            self.mesh.nx, self.mesh.ny
-        )
+        if jax.default_backend() != "tpu":
+            return "xla"
+        if pallas_supported(self.mesh.nx, self.mesh.ny):
+            return "single"
+        if (
+            not self.mesh.periodic_x
+            and not self.mesh.periodic_y
+            and tiled_supported(self.mesh.nx, self.mesh.ny)
+        ):
+            return "tiled"
+        return "xla"
 
     # -- per-element strain rates from CG1 velocity --------------------------
     def strain_rates(self, u, v):
@@ -234,22 +246,40 @@ class MEVPSolver:
         tau_au = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.u_atm
         tau_av = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.v_atm
 
-        u_n, v_n = state.u, state.v
         active = mask * ice_node.astype(dtype)
+        # Compact per-step constants (7 planes): dt/m and the constant part
+        # of the velocity-update numerator (u_n + dt/m * tau_a) are
+        # precomputed, which both saves VMEM in the fused kernels and
+        # removes work from the subcycle.
+        dt_m = dt / m_safe
         consts = dict(
-            strength=strength, m_safe=m_safe, active=active,
-            tau_au=tau_au, tau_av=tau_av,
-            u_ocean=forcing.u_ocean, v_ocean=forcing.v_ocean,
-            u_n=u_n, v_n=v_n,
+            strength=strength,
+            dt_m=dt_m,
+            active=active,
+            b_u=state.u + dt_m * tau_au,
+            b_v=state.v + dt_m * tau_av,
+            u_ocean=forcing.u_ocean,
+            v_ocean=forcing.v_ocean,
         )
 
         carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
-        if self._use_pallas():
+        choice = self._kernel_choice()
+        if choice == "single":
             from .kernels.mevp_pallas import mevp_subcycles_pallas
 
             u, v, s11, s22, s12 = mevp_subcycles_pallas(
                 self, carry0, consts, dt, n_subcycles,
                 interpret=(self.backend == "pallas-interpret"),
+            )
+        elif choice == "tiled":
+            from .kernels.mevp_tiled import mevp_subcycles_tiled
+
+            kwargs = {}
+            if self.backend == "pallas-tiled-interpret":
+                # Tiny tiles so small test grids exercise multiple tiles.
+                kwargs = dict(tile=min(8, self.mesh.nx), halo=4, interpret=True)
+            u, v, s11, s22, s12 = mevp_subcycles_tiled(
+                self, carry0, consts, dt, n_subcycles, **kwargs
             )
         else:
             def subcycle(_, carry):
@@ -261,22 +291,22 @@ class MEVPSolver:
         return VelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)
 
     def subcycle_body(self, carry, consts, dt):
-        """One mEVP subcycle — shared by the XLA path and the Pallas kernel.
+        """One mEVP subcycle — shared by the XLA path and the Pallas kernels.
 
-        ``carry``: (u, v, s11, s22, s12); ``consts``: per-step constant
-        fields (strength, m_safe, active mask, wind stress, ocean currents,
-        u_n/v_n at the outer-step start).
+        ``carry``: (u, v, s11, s22, s12); ``consts``: 7 per-step constant
+        planes: ice strength, dt/m, the active (mask*ice) factor, the
+        constant numerator terms b_u/b_v = u_n + (dt/m) tau_a, and the ocean
+        currents.
         """
         p = self.params
         e2 = p.ellipse * p.ellipse
         alpha, beta = p.alpha, p.beta
         u, v, s11, s22, s12 = carry
         strength = consts["strength"]
-        m_safe = consts["m_safe"]
+        dt_m = consts["dt_m"]
         active = consts["active"]
-        tau_au, tau_av = consts["tau_au"], consts["tau_av"]
+        b_u, b_v = consts["b_u"], consts["b_v"]
         u_ocean, v_ocean = consts["u_ocean"], consts["v_ocean"]
-        u_n, v_n = consts["u_n"], consts["v_n"]
 
         # 1. strain rates and Delta.
         e11, e22, e12 = self.strain_rates(u, v)
@@ -313,12 +343,11 @@ class MEVPSolver:
         cor_u = p.f_coriolis * (v - v_ocean) if p.use_coriolis else 0.0
         cor_v = -p.f_coriolis * (u - u_ocean) if p.use_coriolis else 0.0
 
-        dt_m = dt / m_safe
         u_new = (
-            beta * u + u_n + dt_m * (fu + tau_au + c_w * u_ocean) + dt * cor_u
+            beta * u + b_u + dt_m * (fu + c_w * u_ocean) + dt * cor_u
         ) / (1.0 + beta + dt_m * c_w)
         v_new = (
-            beta * v + v_n + dt_m * (fv + tau_av + c_w * v_ocean) + dt * cor_v
+            beta * v + b_v + dt_m * (fv + c_w * v_ocean) + dt * cor_v
         ) / (1.0 + beta + dt_m * c_w)
 
         # 5. Dirichlet mask: land and ice-free nodes stay at rest.
