@@ -1,0 +1,160 @@
+"""CLI driver for the coupled dynamics+thermodynamics model.
+
+Configured from INI/CLI like the thermo model, with a ``[dynamics]``
+section:
+
+    [model]
+    start = 0
+    stop = 86400
+    time_step = 600
+    checkpoint_period = 0           # steps between coupled checkpoints
+    checkpoint_pattern = coupled.{step}.chk
+    diagnostics_file =              # optional HDF5 time-series output
+    diagnostics_period = 0
+
+    [dynamics]
+    nx = 256
+    ny = 256
+    dx = 2000.0
+    dy = 2000.0
+    degree = 1                      # DG degree: 0, 1 or 2
+    subcycles = 100
+    thermo = true
+    forcing = cyclone               # constant | cyclone (native engine)
+    wind = 15.0                     # constant mode / cyclone vmax
+
+Run: ``python -m nextsimdg_tpu.runtime.coupled_main --config-file box.cfg``
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import CommandLineParser, Configurator, Configured
+from ..utils.logged import Logged
+from ..utils.timer import main_timer
+
+
+def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    Configurator.set_command_line(argv)
+    cmd_line = CommandLineParser(argv)
+    if cmd_line.help_requested:
+        return 0
+    Configurator.add_files(cmd_line.get_config_file_names())
+
+    import jax.numpy as jnp
+
+    from ..coupled import CoupledModel
+    from ..dynamics import MEVPParams, RectMesh
+    from ..dynamics.mevp import DynamicsForcing
+    from ..io.coupled_restart import save_coupled_state
+    from ..io.diagnostics import DiagnosticWriter
+    from ..state import Forcing
+
+    get = Configured.get_configuration
+    with main_timer.scope("configure"):
+        start = float(get("model.start", 0.0))
+        stop = float(get("model.stop", 0.0))
+        dt = float(get("model.time_step", 600.0))
+        checkpoint_period = int(get("model.checkpoint_period", 0))
+        checkpoint_pattern = get("model.checkpoint_pattern", "coupled.{step}.chk")
+        diag_file = get("model.diagnostics_file", "")
+        diag_period = int(get("model.diagnostics_period", 0))
+
+        nx = int(get("dynamics.nx", 256))
+        ny = int(get("dynamics.ny", 256))
+        dx = float(get("dynamics.dx", 2000.0))
+        dy = float(get("dynamics.dy", 2000.0))
+        degree = int(get("dynamics.degree", 1))
+        subcycles = int(get("dynamics.subcycles", 100))
+        do_thermo = bool(get("dynamics.thermo", True))
+        forcing_mode = get("dynamics.forcing", "constant")
+        wind = float(get("dynamics.wind", 15.0))
+        init_file = get("model.init_file", "")
+
+        mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy)
+        model = CoupledModel(
+            mesh, degree=degree, mevp_params=MEVPParams(), n_subcycles=subcycles
+        )
+        dtype = jnp.float32
+        if init_file:
+            from ..io.coupled_restart import load_coupled_state
+
+            state = load_coupled_state(init_file, dtype=dtype)
+        else:
+            state = model.initial_state(
+                hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype
+            )
+
+        full = lambda v: jnp.full((nx, ny), v, dtype=dtype)
+        phys_forcing = Forcing(
+            tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
+            lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(wind),
+        )
+
+        pipeline = None
+        if forcing_mode == "cyclone":
+            from ..io.forcing_pipeline import ForcingPipeline
+
+            pipeline = ForcingPipeline.cyclone(
+                nx, ny, dx, dy, vmax_atm=wind, r0=min(nx * dx, ny * dy) / 5,
+                period=4 * 86400.0, vmax_ocean=0.1, dt=dt,
+            )
+            dyn_forcing = None
+        else:
+            dyn_forcing = DynamicsForcing(
+                u_atm=full(wind), v_atm=full(0.0),
+                u_ocean=full(0.0), v_ocean=full(0.0),
+            )
+
+    diag = DiagnosticWriter(diag_file) if diag_file and diag_period else None
+    n_steps = int(round((stop - start) / dt)) if dt else 0
+    Logged.info(f"Coupled run: {n_steps} steps of {dt} s on {nx}x{ny} dG{degree}")
+
+    try:
+        with main_timer.scope("run"):
+            for step in range(1, n_steps + 1):
+                if pipeline is not None:
+                    with main_timer.scope("forcing"):
+                        fields = pipeline.next_fields()
+                        dyn_forcing = DynamicsForcing(
+                            u_atm=jnp.asarray(fields["u_atm"], dtype),
+                            v_atm=jnp.asarray(fields["v_atm"], dtype),
+                            u_ocean=jnp.asarray(fields["u_ocean"], dtype),
+                            v_ocean=jnp.asarray(fields["v_ocean"], dtype),
+                        )
+                with main_timer.scope("step"):
+                    state = model.step(
+                        state, phys_forcing, dyn_forcing, dt, do_thermo=do_thermo
+                    )
+                if checkpoint_period and step % checkpoint_period == 0:
+                    with main_timer.scope("checkpoint"):
+                        save_coupled_state(
+                            checkpoint_pattern.format(step=step), state,
+                            time=start + step * dt,
+                        )
+                if diag is not None and step % diag_period == 0:
+                    with main_timer.scope("diagnostics"):
+                        diag.write(start + step * dt, {
+                            "hice": state.hice[0], "cice": state.cice[0],
+                            "hsnow": state.hsnow[0], "sst": state.sst,
+                            "sss": state.sss,
+                        })
+    finally:
+        if diag is not None:
+            diag.close()
+        if pipeline is not None:
+            pipeline.close()
+        with main_timer.scope("final-checkpoint"):
+            save_coupled_state("coupled_restart.chk", state, time=stop)
+
+    print(main_timer.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run_coupled())

@@ -1,0 +1,51 @@
+"""Coupled CLI driver end-to-end test (tiny grid, constant + cyclone)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from nextsimdg_tpu.io.coupled_restart import load_coupled_state, load_time
+from nextsimdg_tpu.io.diagnostics import read_diagnostics
+from nextsimdg_tpu.runtime.coupled_main import run_coupled
+
+
+def write_cfg(tmp_path, forcing="constant", extra=""):
+    cfg = tmp_path / "run.cfg"
+    cfg.write_text(
+        "[model]\n"
+        "start = 0\nstop = 1800\ntime_step = 600\n"
+        "diagnostics_file = diag.h5\ndiagnostics_period = 1\n"
+        "checkpoint_period = 2\ncheckpoint_pattern = chk.{step}.chk\n"
+        "[dynamics]\n"
+        "nx = 16\nny = 16\ndx = 32000.0\ndy = 32000.0\n"
+        "degree = 1\nsubcycles = 10\nthermo = true\n"
+        f"forcing = {forcing}\nwind = 10.0\n" + extra
+    )
+    return str(cfg)
+
+
+def test_coupled_cli_constant_forcing(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(tmp_path)
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    assert os.path.exists("coupled_restart.chk")
+    assert load_time("coupled_restart.chk") == 1800.0
+    assert os.path.exists("chk.2.chk")
+    diag = read_diagnostics("diag.h5")
+    assert diag["time"].tolist() == [600.0, 1200.0, 1800.0]
+    assert np.all(np.isfinite(diag["hice"]))
+    # Resume from the final checkpoint.
+    state = load_coupled_state("coupled_restart.chk")
+    assert state.hice.shape == (3, 16, 16)
+
+
+@pytest.mark.skipif(shutil.which("make") is None, reason="no toolchain")
+def test_coupled_cli_cyclone_forcing(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(tmp_path, forcing="cyclone")
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    state = load_coupled_state("coupled_restart.chk")
+    # The cyclone should have set the ice in motion.
+    assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0
