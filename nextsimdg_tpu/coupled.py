@@ -74,7 +74,14 @@ class CoupledModel:
         self.mesh = mesh
         self.spmd = tuple(spmd)
         self.transport = DGTransport(mesh, degree=degree, spmd=self.spmd)
-        self.mevp = MEVPSolver(mesh, mevp_params, spmd=self.spmd)
+        # The momentum solver is module-selectable (Modules.Nextsim::IDynamics:
+        # Nextsim::MEVPDynamics default, Nextsim::FreeDrift alternative).
+        from .modules import ModuleRegistry
+
+        solver_cls = ModuleRegistry.get_loader().get_implementation(
+            "Nextsim::IDynamics"
+        )
+        self.mevp = solver_cls(mesh, mevp_params, spmd=self.spmd)
         self.n_subcycles = n_subcycles
         if physics is None:
             physics = NextsimPhysics()  # default modules, default parameters

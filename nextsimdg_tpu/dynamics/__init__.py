@@ -22,6 +22,17 @@ from .mesh import RectMesh
 from .dgbasis import DGBasis, dg_basis
 from .transport import DGTransport
 from .mevp import MEVPSolver, MEVPParams, VelocityState
+from .freedrift import FreeDriftSolver
+
+from ..modules import ModuleRegistry as _ModuleRegistry
+
+# The dynamics (momentum) solver is a runtime-selectable module, extending
+# the reference's module-system pattern to the dynamical core. The
+# registered "instance" is the solver CLASS; the CoupledModel instantiates
+# it with (mesh, params, spmd=...). mEVP is the default (first registered).
+_loader = _ModuleRegistry.get_loader()
+_loader.register("Nextsim::IDynamics", "Nextsim::MEVPDynamics", lambda: MEVPSolver)
+_loader.register("Nextsim::IDynamics", "Nextsim::FreeDrift", lambda: FreeDriftSolver)
 
 __all__ = [
     "RectMesh",
@@ -31,4 +42,5 @@ __all__ = [
     "MEVPSolver",
     "MEVPParams",
     "VelocityState",
+    "FreeDriftSolver",
 ]
