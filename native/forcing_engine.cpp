@@ -12,6 +12,10 @@
 //   1 = moving cyclone: the standard sea-ice dynamics benchmark wind forcing
 //       (a vortex of radius r0 whose center crosses the domain diagonally)
 //       plus a steady circular ocean current.
+//   2 = binary forcing file: sequential f64 planes read ahead of the model
+//       on the producer thread. Format: i64 magic 0x4E584654 ("NXFT"),
+//       i64 nx, ny, n_fields, n_steps, then n_steps records of
+//       n_fields*nx*ny doubles. Optionally loops (climatology-style).
 //
 // Buffer layout per step: n_fields planes of nx*ny doubles, C-order (x, y):
 //   mode 1 fields: [u_atm, v_atm, u_ocean, v_ocean] at CG nodes (owned-node
@@ -26,9 +30,11 @@
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -54,7 +60,10 @@ public:
         for (int64_t i = 0; i < n_buffers_; ++i) free_.push_back(i);
     }
 
-    ~ForcingEngine() { stop(); }
+    ~ForcingEngine() {
+        stop();
+        if (file_) std::fclose(file_);
+    }
 
     void start_constant(const double* values) {
         const_values_.assign(values, values + n_fields_);
@@ -66,6 +75,21 @@ public:
         params_ = p;
         mode_ = 1;
         launch();
+    }
+
+    // Returns 0 on success, nonzero on a malformed/mismatched file.
+    int start_file(const char* path, int loop) {
+        file_ = std::fopen(path, "rb");
+        if (!file_) return 1;
+        int64_t header[5];
+        if (std::fread(header, sizeof(int64_t), 5, file_) != 5) return 2;
+        if (header[0] != 0x4E584654) return 3;  // "NXFT"
+        if (header[1] != nx_ || header[2] != ny_ || header[3] != n_fields_) return 4;
+        file_steps_ = header[4];
+        file_loop_ = loop != 0;
+        mode_ = 2;
+        launch();
+        return 0;
     }
 
     // Blocks until a produced buffer is available; returns its pointer and
@@ -133,6 +157,20 @@ private:
     }
 
     void fill(double* out, int64_t step) {
+        if (mode_ == 2) {
+            const int64_t record = n_fields_ * plane_;
+            int64_t index = file_loop_ ? step % file_steps_
+                                       : std::min(step, file_steps_ - 1);
+            const int64_t offset =
+                5 * static_cast<int64_t>(sizeof(int64_t)) +
+                index * record * static_cast<int64_t>(sizeof(double));
+            std::fseek(file_, static_cast<long>(offset), SEEK_SET);
+            size_t got = std::fread(out, sizeof(double), record, file_);
+            if (got != static_cast<size_t>(record)) {
+                std::memset(out + got, 0, (record - got) * sizeof(double));
+            }
+            return;
+        }
         if (mode_ == 0) {
             for (int64_t f = 0; f < n_fields_; ++f) {
                 double v = const_values_[f];
@@ -189,6 +227,9 @@ private:
     int mode_ = 0;
     std::vector<double> const_values_;
     CycloneParams params_{};
+    std::FILE* file_ = nullptr;
+    int64_t file_steps_ = 0;
+    bool file_loop_ = false;
 };
 
 }  // namespace
@@ -208,6 +249,10 @@ void fe_start_cyclone(void* handle, double dx, double dy, double lx, double ly,
                       double vmax_ocean, double dt) {
     CycloneParams p{dx, dy, lx, ly, vmax_atm, r0, period, vmax_ocean, dt};
     static_cast<ForcingEngine*>(handle)->start_cyclone(p);
+}
+
+int fe_start_file(void* handle, const char* path, int loop) {
+    return static_cast<ForcingEngine*>(handle)->start_file(path, loop);
 }
 
 int fe_acquire(void* handle, double** data, int64_t* step) {

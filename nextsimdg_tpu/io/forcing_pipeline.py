@@ -54,6 +54,8 @@ def _load() -> ctypes.CDLL:
         lib.fe_create.argtypes = [ctypes.c_int64] * 4
         lib.fe_start_constant.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
         lib.fe_start_cyclone.argtypes = [ctypes.c_void_p] + [ctypes.c_double] * 9
+        lib.fe_start_file.restype = ctypes.c_int
+        lib.fe_start_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
         lib.fe_acquire.restype = ctypes.c_int
         lib.fe_acquire.argtypes = [
             ctypes.c_void_p,
@@ -98,6 +100,24 @@ class ForcingPipeline:
         )
         return pipe
 
+    @classmethod
+    def from_file(cls, path: str, field_names, loop: bool = False, n_buffers: int = 3):
+        """Stream per-step forcing records from a binary NXFT file.
+
+        See :func:`write_forcing_file` for the format; the producer thread
+        reads ahead of the model (prefetch = n_buffers records).
+        """
+        nx, ny, n_fields, _ = read_forcing_file_header(path)
+        if n_fields != len(tuple(field_names)):
+            raise ValueError(
+                f"file has {n_fields} fields, caller named {len(tuple(field_names))}"
+            )
+        pipe = cls(nx, ny, field_names, n_buffers)
+        rc = pipe._lib.fe_start_file(pipe._handle, path.encode(), int(loop))
+        if rc != 0:
+            raise ValueError(f"bad forcing file {path!r} (code {rc})")
+        return pipe
+
     # -- consumption ---------------------------------------------------------
     def next_fields(self) -> Dict[str, np.ndarray]:
         """Block until the next step's fields are ready; return copies.
@@ -140,3 +160,36 @@ class ForcingPipeline:
             self.close()
         except Exception:
             pass
+
+
+_NXFT_MAGIC = 0x4E584654
+
+
+def write_forcing_file(path: str, steps) -> None:
+    """Write a binary NXFT forcing file.
+
+    ``steps``: sequence of per-step dicts/sequences of (nx, ny) float64
+    arrays; all steps must share shapes and field count. Format: 5 int64
+    header (magic 'NXFT', nx, ny, n_fields, n_steps) + sequential planes.
+    """
+    steps = list(steps)
+    first = steps[0]
+    arrays0 = list(first.values()) if isinstance(first, dict) else list(first)
+    nx, ny = arrays0[0].shape
+    n_fields = len(arrays0)
+    with open(path, "wb") as handle:
+        np.asarray(
+            [_NXFT_MAGIC, nx, ny, n_fields, len(steps)], dtype=np.int64
+        ).tofile(handle)
+        for step in steps:
+            arrays = list(step.values()) if isinstance(step, dict) else list(step)
+            for arr in arrays:
+                np.asarray(arr, dtype=np.float64).reshape(nx, ny).tofile(handle)
+
+
+def read_forcing_file_header(path: str):
+    """Return (nx, ny, n_fields, n_steps) of an NXFT file."""
+    header = np.fromfile(path, dtype=np.int64, count=5)
+    if len(header) != 5 or header[0] != _NXFT_MAGIC:
+        raise ValueError(f"not an NXFT forcing file: {path!r}")
+    return int(header[1]), int(header[2]), int(header[3]), int(header[4])

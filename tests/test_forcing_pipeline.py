@@ -50,6 +50,46 @@ def test_cyclone_mode_vortex_moves_and_is_bounded():
         assert np.max(np.abs(f0["u_ocean"])) <= 0.1 + 1e-12
 
 
+def test_file_mode_round_trip(tmp_path):
+    from nextsimdg_tpu.io.forcing_pipeline import write_forcing_file
+
+    path = str(tmp_path / "forcing.nxft")
+    steps = [
+        {"u": np.full((6, 4), float(s)), "v": np.full((6, 4), 10.0 + s)}
+        for s in range(5)
+    ]
+    write_forcing_file(path, steps)
+
+    with ForcingPipeline.from_file(path, ("u", "v")) as pipe:
+        for s in range(5):
+            fields = pipe.next_fields()
+            assert fields["_step"] == s
+            np.testing.assert_allclose(fields["u"], float(s))
+            np.testing.assert_allclose(fields["v"], 10.0 + s)
+        # Past the end (no loop): the last record repeats.
+        fields = pipe.next_fields()
+        np.testing.assert_allclose(fields["u"], 4.0)
+
+
+def test_file_mode_loops(tmp_path):
+    from nextsimdg_tpu.io.forcing_pipeline import write_forcing_file
+
+    path = str(tmp_path / "loop.nxft")
+    write_forcing_file(path, [{"a": np.full((4, 4), float(s))} for s in range(3)])
+    with ForcingPipeline.from_file(path, ("a",), loop=True) as pipe:
+        values = [float(pipe.next_fields()["a"][0, 0]) for _ in range(7)]
+    assert values == [0.0, 1.0, 2.0, 0.0, 1.0, 2.0, 0.0]
+
+
+def test_file_mode_rejects_bad_files(tmp_path):
+    import pytest as _pytest
+
+    bad = tmp_path / "bad.nxft"
+    bad.write_bytes(b"not a forcing file at all, padding padding")
+    with _pytest.raises(ValueError):
+        ForcingPipeline.from_file(str(bad), ("a",))
+
+
 def test_producer_runs_ahead_of_consumer():
     """The engine pre-produces n_buffers steps; steps arrive in order."""
     with ForcingPipeline.constant(4, 4, {"a": 1.0}, n_buffers=4) as pipe:
