@@ -199,17 +199,19 @@ class MEVPSolver:
         dx, dy = self.mesh.dx, self.mesh.dy
 
         def scatter_x(cell):
+            # F_n = -int sigma dphi_n/dx: the node's basis ramps UP inside
+            # the elements to its left (+dy/2 gradient integral) and DOWN in
+            # those to its right, so F = (dy/2) (right elements - left).
             cm_x = shift_m(cell, 0, px, ax_x)
             cm_y = shift_m(cell, 1, py, ax_y)
             cm_xy = shift_m(cm_x, 1, py, ax_y)
-            # + for elements left of the node, - for elements right of it.
-            return 0.5 * dy * ((cm_xy + cm_x) - (cm_y + cell))
+            return 0.5 * dy * ((cm_y + cell) - (cm_xy + cm_x))
 
         def scatter_y(cell):
             cm_x = shift_m(cell, 0, px, ax_x)
             cm_y = shift_m(cell, 1, py, ax_y)
             cm_xy = shift_m(cm_x, 1, py, ax_y)
-            return 0.5 * dx * ((cm_xy + cm_y) - (cm_x + cell))
+            return 0.5 * dx * ((cm_x + cell) - (cm_xy + cm_y))
 
         fu = scatter_x(s11) + scatter_y(s12)
         fv = scatter_x(s12) + scatter_y(s22)

@@ -1,0 +1,354 @@
+"""Higher-order mEVP: CG2 velocity + dG1 stress (the neXtSIM_DG core).
+
+This is the discretization of the actual neXtSIM_DG dynamical core (cf.
+BASELINE.json north star: higher-order DG methods): biquadratic CG2
+velocity, strain/stress tensors in dG1 (3 coefficients per component), with
+the nonlinear VP constitutive law evaluated at Gauss points and projected
+back — versus the classical CG1 / element-constant-stress solver in
+``mevp.py``.
+
+Owned-plane layout: a CG2 scalar field is four (nx, ny) planes (vertex,
+bottom-mid, left-mid, center; see ``cg2basis``), so everything shards
+evenly over device meshes exactly like the low-order fields, and all
+per-element node gathers/scatters are static-table contractions + shifts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cg2basis import LOCAL_NODE_SOURCE, PLANES, cg2_tables
+from .mesh import RectMesh
+from .mevp import MEVPParams
+from .stencil import shift_m, shift_p
+from .transport import apply_table
+
+
+def _pytree(cls):
+    return jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f.name for f in dataclasses.fields(cls)],
+        meta_fields=[],
+    )
+
+
+@_pytree
+@dataclass(frozen=True)
+class HOField:
+    """One CG2 scalar field in owned planes (each (nx, ny))."""
+
+    v: jax.Array  #: vertex nodes (i, j)
+    b: jax.Array  #: bottom edge midpoints (i+1/2, j)
+    l: jax.Array  #: left edge midpoints (i, j+1/2)
+    c: jax.Array  #: centers (i+1/2, j+1/2)
+
+    @classmethod
+    def zeros(cls, nx: int, ny: int, dtype=jnp.float32) -> "HOField":
+        z = jnp.zeros((nx, ny), dtype)
+        return cls(v=z, b=z, l=z, c=z)
+
+    @classmethod
+    def from_function(cls, mesh: RectMesh, fn, dtype=jnp.float64) -> "HOField":
+        """Sample an analytic field at the owned node coordinates."""
+        ix = np.arange(mesh.nx)[:, None]
+        jy = np.arange(mesh.ny)[None, :]
+        coords = {
+            "v": (mesh.x0 + ix * mesh.dx, mesh.y0 + jy * mesh.dy),
+            "b": (mesh.x0 + (ix + 0.5) * mesh.dx, mesh.y0 + jy * mesh.dy),
+            "l": (mesh.x0 + ix * mesh.dx, mesh.y0 + (jy + 0.5) * mesh.dy),
+            "c": (mesh.x0 + (ix + 0.5) * mesh.dx, mesh.y0 + (jy + 0.5) * mesh.dy),
+        }
+        values = {}
+        for name, (x, y) in coords.items():
+            values[name] = jnp.asarray(
+                np.broadcast_to(fn(x, y), (mesh.nx, mesh.ny)), dtype=dtype
+            )
+        return cls(**values)
+
+    @classmethod
+    def from_vertex_field(cls, vertex, periodic_x=False, periodic_y=False, spmd=(None, None)):
+        """Build mid/center planes by interpolating a vertex (CG1) field."""
+        vx = shift_p(vertex, 0, periodic_x, spmd[0])
+        vy = shift_p(vertex, 1, periodic_y, spmd[1])
+        vxy = shift_p(vx, 1, periodic_y, spmd[1])
+        return cls(
+            v=vertex,
+            b=0.5 * (vertex + vx),
+            l=0.5 * (vertex + vy),
+            c=0.25 * (vertex + vx + vy + vxy),
+        )
+
+
+@_pytree
+@dataclass(frozen=True)
+class HOVelocityState:
+    """CG2 velocity + dG1 stress coefficients."""
+
+    u: HOField
+    v: HOField
+    s11: jax.Array  #: (3, nx, ny) dG1 coefficients
+    s22: jax.Array
+    s12: jax.Array
+
+    @classmethod
+    def zeros(cls, nx: int, ny: int, dtype=jnp.float32) -> "HOVelocityState":
+        coeffs = jnp.zeros((3, nx, ny), dtype)
+        return cls(
+            u=HOField.zeros(nx, ny, dtype), v=HOField.zeros(nx, ny, dtype),
+            s11=coeffs, s22=coeffs, s12=coeffs,
+        )
+
+
+@_pytree
+@dataclass(frozen=True)
+class HODynamicsForcing:
+    """Wind/ocean forcing as CG2 fields."""
+
+    u_atm: HOField
+    v_atm: HOField
+    u_ocean: HOField
+    v_ocean: HOField
+
+
+class MEVPSolverHO:
+    """Higher-order mEVP solver. API parallels ``MEVPSolver.step``."""
+
+    def __init__(
+        self,
+        mesh: RectMesh,
+        params: MEVPParams = MEVPParams(),
+        backend: str = "auto",  # interface parity; XLA path only for now
+        spmd=(None, None),
+    ) -> None:
+        self.mesh = mesh
+        self.params = params
+        self.spmd = tuple(spmd)
+        self.tables = cg2_tables()
+
+    # -- plane <-> local-node machinery --------------------------------------
+    def gather_local(self, field: HOField):
+        """The 9 local node values of every element, ordered n = 3a + b."""
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ax, ay = self.spmd
+        planes = {"v": field.v, "b": field.b, "l": field.l, "c": field.c}
+        out = []
+        for n in range(9):
+            a, b = divmod(n, 3)
+            plane, sx, sy = LOCAL_NODE_SOURCE[(a, b)]
+            arr = planes[plane]
+            if sx:
+                arr = shift_p(arr, 0, px, ax)
+            if sy:
+                arr = shift_p(arr, 1, py, ay)
+            out.append(arr)
+        return jnp.stack(out)  # (9, nx, ny)
+
+    def scatter_local(self, contribs) -> HOField:
+        """Accumulate per-element local-node contributions onto owned planes.
+
+        ``contribs``: (9, nx, ny), entry n = contribution of each element to
+        its local node n. Adjoint of :meth:`gather_local`.
+        """
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ax, ay = self.spmd
+        planes = {name: None for name in PLANES}
+        for n in range(9):
+            a, b = divmod(n, 3)
+            plane, sx, sy = LOCAL_NODE_SOURCE[(a, b)]
+            arr = contribs[n]
+            if sx:
+                arr = shift_m(arr, 0, px, ax)
+            if sy:
+                arr = shift_m(arr, 1, py, ay)
+            planes[plane] = arr if planes[plane] is None else planes[plane] + arr
+        return HOField(**planes)
+
+    # -- strain: CG2 velocity -> dG1 coefficients ----------------------------
+    def strain_rates(self, u: HOField, v: HOField):
+        """(e11, e22, e12) as (3, nx, ny) dG1 coefficient arrays."""
+        t = self.tables
+        u_loc = self.gather_local(u)
+        v_loc = self.gather_local(v)
+        du_dx = apply_table(t.grad_x_to_dg1.T, u_loc) / self.mesh.dx
+        du_dy = apply_table(t.grad_y_to_dg1.T, u_loc) / self.mesh.dy
+        dv_dx = apply_table(t.grad_x_to_dg1.T, v_loc) / self.mesh.dx
+        dv_dy = apply_table(t.grad_y_to_dg1.T, v_loc) / self.mesh.dy
+        return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
+
+    # -- weak-form stress divergence -> CG2 nodal forces ---------------------
+    def stress_divergence(self, s11, s22, s12):
+        """Nodal forces (per unit area): F_n = -int sigma : grad(phi_n) / W_n
+        is NOT applied here — returns the raw integrals (Fu, Fv) as HOFields
+        (units: stress x length)."""
+        t = self.tables
+        dx, dy = self.mesh.dx, self.mesh.dy
+        # int_E sigma_c phi_c dN_n/dx dA = dy * div_x[c, n] (reference-integral
+        # times the metric); forces get a minus sign (integration by parts).
+        fu_loc = -(
+            apply_table(t.div_x, s11) * dy + apply_table(t.div_y, s12) * dx
+        )
+        fv_loc = -(
+            apply_table(t.div_x, s12) * dy + apply_table(t.div_y, s22) * dx
+        )
+        return self.scatter_local(fu_loc), self.scatter_local(fv_loc)
+
+    def node_weights(self) -> HOField:
+        """W_n = int phi_n dA accumulated per owned node (area weights)."""
+        area = self.mesh.dx * self.mesh.dy
+        ones = jnp.ones((self.mesh.nx, self.mesh.ny))
+        contribs = jnp.stack(
+            [float(self.tables.lumped_mass[n]) * area * ones for n in range(9)]
+        )
+        return self.scatter_local(contribs)
+
+    def node_thickness(self, h) -> HOField:
+        """Lumped-mass-weighted ice thickness at nodes: sum(h W)/sum(W)."""
+        area = self.mesh.dx * self.mesh.dy
+        contribs = jnp.stack(
+            [float(self.tables.lumped_mass[n]) * area * h for n in range(9)]
+        )
+        num = self.scatter_local(contribs)
+        den = self.node_weights()
+        return HOField(
+            v=num.v / den.v, b=num.b / den.b, l=num.l / den.l, c=num.c / den.c
+        )
+
+    def boundary_mask(self, dtype=jnp.float32):
+        """Per-plane no-slip masks (1 interior, 0 wall)."""
+        nx, ny = self.mesh.nx, self.mesh.ny
+        masks = {}
+        for name in PLANES:
+            mask = np.ones((nx, ny))
+            on_x0 = name in ("v", "l")  # nodes with x = 0
+            on_y0 = name in ("v", "b")  # nodes with y = 0
+            if not self.mesh.periodic_x and on_x0:
+                mask[0, :] = 0.0
+            if not self.mesh.periodic_y and on_y0:
+                mask[:, 0] = 0.0
+            masks[name] = jnp.asarray(mask, dtype=dtype)
+        return HOField(**masks)
+
+    # -- the mEVP iteration --------------------------------------------------
+    @partial(jax.jit, static_argnames=("self", "dt", "n_subcycles"))
+    def step(
+        self,
+        state: HOVelocityState,
+        h,  # effective ice thickness per element (nx, ny)
+        a,  # concentration per element (nx, ny)
+        forcing: HODynamicsForcing,
+        mask: HOField,
+        dt: float,
+        n_subcycles: int = 100,
+    ) -> HOVelocityState:
+        p = self.params
+        dtype = state.u.v.dtype
+        e2 = p.ellipse * p.ellipse
+        alpha, beta = p.alpha, p.beta
+        t = self.tables
+
+        strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
+
+        h_node = self.node_thickness(h)
+        weights = self.node_weights()
+
+        def per_plane(fn):
+            return HOField(**{k: fn(k) for k in PLANES})
+
+        m_node = per_plane(lambda k: p.rho_ice * getattr(h_node, k))
+        active = per_plane(
+            lambda k: getattr(mask, k)
+            * (getattr(m_node, k) > p.min_ice_mass).astype(dtype)
+        )
+        dt_m = per_plane(
+            lambda k: dt / jnp.maximum(getattr(m_node, k), p.min_ice_mass)
+        )
+
+        def wind_tau(comp_atm, other_atm):
+            return per_plane(
+                lambda k: p.rho_atm * p.cd_atm
+                * jnp.sqrt(getattr(comp_atm, k) ** 2 + getattr(other_atm, k) ** 2)
+                * getattr(comp_atm, k)
+            )
+
+        tau_au = wind_tau(forcing.u_atm, forcing.v_atm)
+        tau_av = wind_tau(forcing.v_atm, forcing.u_atm)
+        b_u = per_plane(lambda k: getattr(state.u, k) + getattr(dt_m, k) * getattr(tau_au, k))
+        b_v = per_plane(lambda k: getattr(state.v, k) + getattr(dt_m, k) * getattr(tau_av, k))
+
+        # Gauss-point projection tables with weights/mass folded in.
+        proj = (t.phi_dg1 * t.w_vol[None, :]) * (1.0 / np.array([1.0, 1 / 12, 1 / 12]))[:, None]
+        phi_at_q = t.phi_dg1  # (3, NQ)
+
+        def subcycle(_, carry):
+            u, v, s11, s22, s12 = carry
+
+            e11, e22, e12 = self.strain_rates(u, v)
+
+            # VP law at Gauss points, projected back to dG1.
+            e11_q = apply_table(phi_at_q, e11)
+            e22_q = apply_table(phi_at_q, e22)
+            e12_q = apply_table(phi_at_q, e12)
+            delta_q = jnp.sqrt(
+                (e11_q * e11_q + e22_q * e22_q) * (1.0 + 1.0 / e2)
+                + 2.0 * e11_q * e22_q * (1.0 - 1.0 / e2)
+                + 4.0 / e2 * e12_q * e12_q
+            )
+            denom = delta_q + p.delta_min
+            zeta_q = 0.5 * strength[None] / denom
+            eta_q = zeta_q / e2
+            p_rep_q = strength[None] * delta_q / denom
+            div_q = e11_q + e22_q
+            s11_vp_q = 2.0 * eta_q * e11_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
+            s22_vp_q = 2.0 * eta_q * e22_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
+            s12_vp_q = 2.0 * eta_q * e12_q
+
+            s11_vp = apply_table(proj.T, s11_vp_q)
+            s22_vp = apply_table(proj.T, s22_vp_q)
+            s12_vp = apply_table(proj.T, s12_vp_q)
+
+            s11 = s11 + (s11_vp - s11) / alpha
+            s22 = s22 + (s22_vp - s22) / alpha
+            s12 = s12 + (s12_vp - s12) / alpha
+
+            fu_raw, fv_raw = self.stress_divergence(s11, s22, s12)
+
+            def update(comp, b_comp, f_raw, ocean, other, other_ocean, sign):
+                def plane(k):
+                    uk = getattr(comp, k)
+                    f = getattr(f_raw, k) / getattr(weights, k)
+                    uo = getattr(ocean, k)
+                    vo_other = getattr(other_ocean, k)
+                    rel_u = uo - uk
+                    rel_v = vo_other - getattr(other, k)
+                    c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(
+                        rel_u * rel_u + rel_v * rel_v
+                    )
+                    cor = (
+                        sign * p.f_coriolis * (getattr(other, k) - vo_other)
+                        if p.use_coriolis
+                        else 0.0
+                    )
+                    dm = getattr(dt_m, k)
+                    new = (
+                        beta * uk + getattr(b_comp, k)
+                        + dm * (f + c_w * uo) + dt * cor
+                    ) / (1.0 + beta + dm * c_w)
+                    return new * getattr(active, k)
+
+                return per_plane(plane)
+
+            u_new = update(u, b_u, fu_raw, forcing.u_ocean, v, forcing.v_ocean, +1.0)
+            v_new = update(v, b_v, fv_raw, forcing.v_ocean, u, forcing.u_ocean, -1.0)
+            return (u_new, v_new, s11, s22, s12)
+
+        u, v, s11, s22, s12 = jax.lax.fori_loop(
+            0, n_subcycles, subcycle,
+            (state.u, state.v, state.s11, state.s22, state.s12),
+        )
+        return HOVelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)

@@ -29,6 +29,26 @@ def test_strain_rates_exact_for_linear_velocity():
     )
 
 
+def test_stress_divergence_exact_for_linear_stress():
+    """F/area must equal div(sigma) exactly for (bi)linear stress fields."""
+    mesh = RectMesh(nx=8, ny=8, dx=2.0, dy=2.0)
+    solver = MEVPSolver(mesh)
+    xc, yc = mesh.element_centers()
+    area = mesh.dx * mesh.dy
+    zero = jnp.zeros_like(jnp.asarray(xc))
+
+    fu, fv = solver.stress_divergence(jnp.asarray(xc), zero, zero)
+    np.testing.assert_allclose(np.asarray(fu)[2:-1, 2:-1] / area, 1.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(fv)[2:-1, 2:-1] / area, 0.0, atol=1e-12)
+
+    fu, fv = solver.stress_divergence(zero, jnp.asarray(yc), zero)
+    np.testing.assert_allclose(np.asarray(fv)[2:-1, 2:-1] / area, 1.0, rtol=1e-12)
+
+    fu, fv = solver.stress_divergence(zero, zero, jnp.asarray(yc + 2 * xc))
+    np.testing.assert_allclose(np.asarray(fu)[2:-1, 2:-1] / area, 1.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(fv)[2:-1, 2:-1] / area, 2.0, rtol=1e-12)
+
+
 def test_constant_stress_gives_zero_interior_force():
     mesh = RectMesh(nx=8, ny=8, dx=1.0, dy=1.0)
     solver = MEVPSolver(mesh)
