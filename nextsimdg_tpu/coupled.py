@@ -89,6 +89,12 @@ class CoupledModel:
         self._node_mask64 = None
 
     # -- state construction --------------------------------------------------
+    @property
+    def is_high_order(self) -> bool:
+        from .dynamics.mevp_ho import MEVPSolverHO
+
+        return isinstance(self.mevp, MEVPSolverHO)
+
     def initial_state(
         self, hice0=0.0, cice0=0.0, hsnow0=0.0, sst0=-1.8, sss0=32.0,
         tice0=-1.0, nlayers: int = 1, dtype=jnp.float32,
@@ -96,6 +102,12 @@ class CoupledModel:
         nx, ny = self.mesh.nx, self.mesh.ny
         k = self.transport.basis.n_dofs
         dg = lambda v: jnp.zeros((k, nx, ny), dtype).at[0].set(v)
+        if self.is_high_order:
+            from .dynamics.mevp_ho import HOVelocityState
+
+            velocity = HOVelocityState.zeros(nx, ny, dtype)
+        else:
+            velocity = VelocityState.zeros(nx, ny, dtype)
         return CoupledState(
             hice=dg(hice0),
             cice=dg(cice0),
@@ -103,7 +115,7 @@ class CoupledModel:
             sst=jnp.full((nx, ny), sst0, dtype),
             sss=jnp.full((nx, ny), sss0, dtype),
             tice=jnp.full((nlayers, nx, ny), tice0, dtype),
-            velocity=VelocityState.zeros(nx, ny, dtype),
+            velocity=velocity,
             new_ice=jnp.zeros((nx, ny), dtype),
         )
 
@@ -129,16 +141,38 @@ class CoupledModel:
             # 1. momentum: mEVP on cell means.
             h_mean = hice[0]
             a_mean = jnp.clip(cice[0], 0.0, 1.0)
-            mask = self.node_mask(dtype)
-            velocity = self.mevp.step(
-                velocity, h_mean, a_mean, dyn_forcing, mask, dt, self.n_subcycles
-            )
+            if self.is_high_order:
+                from .dynamics.mevp_ho import (
+                    HODynamicsForcing,
+                    HOField,
+                    ho_velocity_to_quad,
+                )
 
-            # 2. DG advection of the tracers with the CG velocity, with
+                px, py = self.mesh.periodic_x, self.mesh.periodic_y
+                to_ho = lambda f: HOField.from_vertex_field(f, px, py, self.spmd)
+                forcing_ho = HODynamicsForcing(
+                    u_atm=to_ho(dyn_forcing.u_atm), v_atm=to_ho(dyn_forcing.v_atm),
+                    u_ocean=to_ho(dyn_forcing.u_ocean),
+                    v_ocean=to_ho(dyn_forcing.v_ocean),
+                )
+                mask = self.mevp.boundary_mask(dtype)
+                velocity = self.mevp.step(
+                    velocity, h_mean, a_mean, forcing_ho, mask, dt, self.n_subcycles
+                )
+                qv = ho_velocity_to_quad(
+                    self.mesh, self.transport.basis, velocity.u, velocity.v, self.spmd
+                )
+            else:
+                mask = self.node_mask(dtype)
+                velocity = self.mevp.step(
+                    velocity, h_mean, a_mean, dyn_forcing, mask, dt, self.n_subcycles
+                )
+                qv = velocity_from_cg(
+                    self.mesh, self.transport.basis, velocity.u, velocity.v, self.spmd
+                )
+
+            # 2. DG advection of the tracers with the sampled velocity, with
             # pointwise positivity limiting (Zhang-Shu) per RK stage.
-            qv = velocity_from_cg(
-                self.mesh, self.transport.basis, velocity.u, velocity.v, self.spmd
-            )
             hice = self.transport.step(hice, qv, dt, limit=True)
             cice = self.transport.step(cice, qv, dt, limit=True)
             hsnow = self.transport.step(hsnow, qv, dt, limit=True)

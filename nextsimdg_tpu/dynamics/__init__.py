@@ -30,9 +30,12 @@ from ..modules import ModuleRegistry as _ModuleRegistry
 # the reference's module-system pattern to the dynamical core. The
 # registered "instance" is the solver CLASS; the CoupledModel instantiates
 # it with (mesh, params, spmd=...). mEVP is the default (first registered).
+from .mevp_ho import MEVPSolverHO
+
 _loader = _ModuleRegistry.get_loader()
 _loader.register("Nextsim::IDynamics", "Nextsim::MEVPDynamics", lambda: MEVPSolver)
 _loader.register("Nextsim::IDynamics", "Nextsim::FreeDrift", lambda: FreeDriftSolver)
+_loader.register("Nextsim::IDynamics", "Nextsim::MEVPHighOrder", lambda: MEVPSolverHO)
 
 __all__ = [
     "RectMesh",

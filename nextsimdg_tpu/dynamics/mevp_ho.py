@@ -116,6 +116,43 @@ class HODynamicsForcing:
     v_ocean: HOField
 
 
+def ho_velocity_to_quad(mesh: RectMesh, basis, u: HOField, v: HOField, spmd=(None, None)):
+    """Sample a CG2 velocity at DG transport quadrature points (exact).
+
+    Returns a :class:`~nextsimdg_tpu.dynamics.transport.QuadVelocity`. Volume
+    points use the full 9-node CG2 interpolation; faces use the quadratic
+    trace through the 3 nodes on each face (single-valued across elements).
+    """
+    from .dgbasis import GAUSS_POINTS_1D
+    from .transport import QuadVelocity
+    from .cg2basis import _lagrange_1d, cg2_tables
+
+    t = cg2_tables()
+    px, py = mesh.periodic_x, mesh.periodic_y
+    ax, ay = spmd
+
+    solver_like = MEVPSolverHO(mesh, spmd=spmd)
+    u_loc = solver_like.gather_local(u)
+    v_loc = solver_like.gather_local(v)
+    # Volume points: (9 nodes -> NQ points).
+    vx_vol = apply_table(t.n_vol, u_loc)
+    vy_vol = apply_table(t.n_vol, v_loc)
+
+    # Left face (x=0): nodes v(i,j), l(i,j), v(i,j+1); quadratic in s.
+    s = GAUSS_POINTS_1D
+    w0 = jnp.asarray(_lagrange_1d(0, s))[:, None, None]
+    w1 = jnp.asarray(_lagrange_1d(1, s))[:, None, None]
+    w2 = jnp.asarray(_lagrange_1d(2, s))[:, None, None]
+    dtype = u.v.dtype
+    w0, w1, w2 = w0.astype(dtype), w1.astype(dtype), w2.astype(dtype)
+    u_v_up = shift_p(u.v, 1, py, ay)
+    vn_x = w0 * u.v[None] + w1 * u.l[None] + w2 * u_v_up[None]
+    # Bottom face (y=0): nodes v(i,j), b(i,j), v(i+1,j).
+    v_v_right = shift_p(v.v, 0, px, ax)
+    vn_y = w0 * v.v[None] + w1 * v.b[None] + w2 * v_v_right[None]
+    return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
+
+
 class MEVPSolverHO:
     """Higher-order mEVP solver. API parallels ``MEVPSolver.step``."""
 
