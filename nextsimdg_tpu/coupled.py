@@ -172,10 +172,11 @@ class CoupledModel:
                 )
 
             # 2. DG advection of the tracers with the sampled velocity, with
-            # pointwise positivity limiting (Zhang-Shu) per RK stage.
-            hice = self.transport.step(hice, qv, dt, limit=True)
-            cice = self.transport.step(cice, qv, dt, limit=True)
-            hsnow = self.transport.step(hsnow, qv, dt, limit=True)
+            # pointwise positivity limiting (Zhang-Shu) per RK stage. The
+            # three tracers ride one batched pass (shared velocity reads).
+            tracers = jnp.stack([hice, cice, hsnow], axis=1)  # (K, 3, nx, ny)
+            tracers = self.transport.step(tracers, qv, dt, limit=True)
+            hice, cice, hsnow = tracers[:, 0], tracers[:, 1], tracers[:, 2]
 
             # 3. bounds: means clamped, higher moments scaled accordingly.
             hice = _clamp_dg(hice, 0.0, None)

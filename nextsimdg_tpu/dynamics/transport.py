@@ -191,14 +191,26 @@ class DGTransport:
 
     # -- semi-discrete RHS ---------------------------------------------------
     def rhs(self, psi, vel: QuadVelocity):
-        """d(psi)/dt for coefficients psi (K, nx, ny)."""
+        """d(psi)/dt for coefficients psi (K, ..., nx, ny).
+
+        Extra middle dims batch multiple tracers through one pass (the
+        velocity arrays are shared — cheaper than one call per tracer).
+        """
         mesh = self.mesh
         dtype = psi.dtype
+        # Broadcast the velocity arrays over any batched tracer dims.
+        extra = psi.ndim - 3
+        expand = (slice(None),) + (None,) * extra
+        vx_vol = vel.vx_vol[expand]
+        vy_vol = vel.vy_vol[expand]
+        vn_x = vel.vn_x[expand]
+        vn_y = vel.vn_y[expand]
+        x_axis, y_axis = psi.ndim - 2, psi.ndim - 1
 
         # Volume term: integrand at quad points, contracted back to dofs.
         psi_q = apply_table(self._psi_vol, psi)
-        gx = apply_table(self._wgx_vol.T, vel.vx_vol * psi_q) / mesh.dx
-        gy = apply_table(self._wgy_vol.T, vel.vy_vol * psi_q) / mesh.dy
+        gx = apply_table(self._wgx_vol.T, vx_vol * psi_q) / mesh.dx
+        gy = apply_table(self._wgy_vol.T, vy_vol * psi_q) / mesh.dy
         volume = gx + gy
 
         # Upwind edge fluxes, x-direction (owned left-face edges).
@@ -209,18 +221,18 @@ class DGTransport:
         tr_x1 = apply_table(self._psi_x1, psi)  # right-face traces
         tr_x0 = apply_table(self._psi_x0, psi)  # left-face traces
         # Face i sits between elements i-1 (left) and i (right).
-        left_of_edge = shift_m(tr_x1, 1, px, ax_x)
-        upwinded = jnp.where(vel.vn_x >= 0, left_of_edge, tr_x0)
-        g_x = vel.vn_x * upwinded  # edge weights live in the assembly tables
+        left_of_edge = shift_m(tr_x1, x_axis, px, ax_x)
+        upwinded = jnp.where(vn_x >= 0, left_of_edge, tr_x0)
+        g_x = vn_x * upwinded  # edge weights live in the assembly tables
         if not px:
             # Closed domain: the global i=0 face is an impermeable wall.
             if ax_x is None:
-                g_x = g_x * self._wall_x.astype(dtype)
+                g_x = g_x * self._wall_x.astype(dtype)[expand]
             else:
-                face0 = jax.lax.broadcasted_iota(jnp.int32, g_x.shape, 1) == 0
+                face0 = jax.lax.broadcasted_iota(jnp.int32, g_x.shape, x_axis) == 0
                 g_x = jnp.where(face0 & is_global_edge(ax_x, "first"), 0.0, g_x)
         # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
-        g_right = shift_p(g_x, 1, px, ax_x)
+        g_right = shift_p(g_x, x_axis, px, ax_x)
         edge_x = (
             apply_table(self._wa_x1.T, g_right) - apply_table(self._wa_x0.T, g_x)
         ) / mesh.dx
@@ -228,16 +240,16 @@ class DGTransport:
         # Upwind edge fluxes, y-direction (owned bottom-face edges).
         tr_y1 = apply_table(self._psi_y1, psi)  # top-face traces
         tr_y0 = apply_table(self._psi_y0, psi)  # bottom
-        below = shift_m(tr_y1, 2, py, ax_y)
-        upwinded_y = jnp.where(vel.vn_y >= 0, below, tr_y0)
-        g_y = vel.vn_y * upwinded_y
+        below = shift_m(tr_y1, y_axis, py, ax_y)
+        upwinded_y = jnp.where(vn_y >= 0, below, tr_y0)
+        g_y = vn_y * upwinded_y
         if not py:
             if ax_y is None:
-                g_y = g_y * self._wall_y.astype(dtype)
+                g_y = g_y * self._wall_y.astype(dtype)[expand]
             else:
-                face0 = jax.lax.broadcasted_iota(jnp.int32, g_y.shape, 2) == 0
+                face0 = jax.lax.broadcasted_iota(jnp.int32, g_y.shape, y_axis) == 0
                 g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
-        g_top = shift_p(g_y, 2, py, ax_y)
+        g_top = shift_p(g_y, y_axis, py, ax_y)
         edge_y = (
             apply_table(self._wa_y1.T, g_top) - apply_table(self._wa_y0.T, g_y)
         ) / mesh.dy
