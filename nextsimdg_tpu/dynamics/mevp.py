@@ -144,7 +144,6 @@ class MEVPSolver:
         if self.backend == "xla":
             return "xla"
         from .kernels.mevp_pallas import pallas_supported
-        from .kernels.mevp_tiled import tiled_supported
 
         import jax
 
@@ -152,12 +151,9 @@ class MEVPSolver:
             return "xla"
         if pallas_supported(self.mesh.nx, self.mesh.ny):
             return "single"
-        if (
-            not self.mesh.periodic_x
-            and not self.mesh.periodic_y
-            and tiled_supported(self.mesh.nx, self.mesh.ny)
-        ):
-            return "tiled"
+        # Large grids: the XLA loop is already near HBM bandwidth and the
+        # temporally-blocked kernel's halo recompute makes it slower on v5e
+        # (see docs/performance.md), so 'tiled' stays opt-in.
         return "xla"
 
     # -- per-element strain rates from CG1 velocity --------------------------
