@@ -67,12 +67,17 @@ class CoupledModel:
         n_subcycles: int = 100,
         physics: NextsimPhysics = None,
         spmd=(None, None),
+        ocean_mask=None,
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
         shard_map on LOCAL blocks (see parallel.shardmap); default is the
-        single-program form, which GSPMD can also auto-shard."""
+        single-program form, which GSPMD can also auto-shard.
+        ``ocean_mask``: optional (nx, ny) element mask (1=ocean, 0=land) for
+        pan-Arctic-style domains — coastline faces become impermeable and
+        coastal nodes no-slip."""
         self.mesh = mesh
         self.spmd = tuple(spmd)
+        self.ocean_mask = None if ocean_mask is None else jnp.asarray(ocean_mask)
         self.transport = DGTransport(mesh, degree=degree, spmd=self.spmd)
         # The momentum solver is module-selectable (Modules.Nextsim::IDynamics:
         # Nextsim::MEVPDynamics default, Nextsim::FreeDrift alternative).
@@ -120,7 +125,40 @@ class CoupledModel:
         )
 
     def node_mask(self, dtype):
-        return self.mevp.boundary_mask(dtype=dtype)
+        mask = self.mevp.boundary_mask(dtype=dtype)
+        if self.ocean_mask is None:
+            return mask
+        from .dynamics.stencil import shift_m
+
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ocean = self.ocean_mask.astype(dtype)
+        if self.is_high_order:
+            from .dynamics.mevp_ho import HOField
+
+            o_x = shift_m(ocean, 0, px, self.spmd[0])
+            o_y = shift_m(ocean, 1, py, self.spmd[1])
+            o_xy = shift_m(o_x, 1, py, self.spmd[1])
+            return HOField(
+                v=mask.v * ocean * o_x * o_y * o_xy,  # vertex: all 4 elements
+                b=mask.b * ocean * o_y,  # bottom mid: (i,j) and (i,j-1)
+                l=mask.l * ocean * o_x,  # left mid: (i,j) and (i-1,j)
+                c=mask.c * ocean,  # center: its element
+            )
+        # CG1 node (i,j): no-slip unless all 4 adjacent elements are ocean.
+        o_x = shift_m(ocean, 0, px, self.spmd[0])
+        o_y = shift_m(ocean, 1, py, self.spmd[1])
+        o_xy = shift_m(o_x, 1, py, self.spmd[1])
+        return mask * ocean * o_x * o_y * o_xy
+
+    def face_masks(self, dtype):
+        if self.ocean_mask is None:
+            return None
+        from .dynamics.transport import face_masks_from_land
+
+        return face_masks_from_land(
+            self.ocean_mask.astype(dtype),
+            self.mesh.periodic_x, self.mesh.periodic_y, self.spmd,
+        )
 
     # -- one coupled timestep ------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "dt", "do_dynamics", "do_thermo"))
@@ -155,7 +193,7 @@ class CoupledModel:
                     u_ocean=to_ho(dyn_forcing.u_ocean),
                     v_ocean=to_ho(dyn_forcing.v_ocean),
                 )
-                mask = self.mevp.boundary_mask(dtype)
+                mask = self.node_mask(dtype)
                 velocity = self.mevp.step(
                     velocity, h_mean, a_mean, forcing_ho, mask, dt, self.n_subcycles
                 )
@@ -175,7 +213,9 @@ class CoupledModel:
             # pointwise positivity limiting (Zhang-Shu) per RK stage. The
             # three tracers ride one batched pass (shared velocity reads).
             tracers = jnp.stack([hice, cice, hsnow], axis=1)  # (K, 3, nx, ny)
-            tracers = self.transport.step(tracers, qv, dt, limit=True)
+            tracers = self.transport.step(
+                tracers, qv, dt, limit=True, face_masks=self.face_masks(dtype)
+            )
             hice, cice, hsnow = tracers[:, 0], tracers[:, 1], tracers[:, 2]
 
             # 3. bounds: means clamped, higher moments scaled accordingly.

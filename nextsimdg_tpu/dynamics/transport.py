@@ -68,6 +68,20 @@ def apply_table(table, arr):
     return jnp.stack(outs)
 
 
+def face_masks_from_land(ocean_mask, periodic_x=False, periodic_y=False, spmd=(None, None)):
+    """Impermeable-face masks from an element ocean mask (1=ocean, 0=land).
+
+    A face carries flux only if BOTH adjacent elements are ocean. Returns
+    (face_x, face_y) each (nx, ny) in owned-edge layout, multiplying the
+    upwind flux arrays.
+    """
+    from .stencil import shift_m
+
+    left = shift_m(ocean_mask, 0, periodic_x, spmd[0])
+    below = shift_m(ocean_mask, 1, periodic_y, spmd[1])
+    return ocean_mask * left, ocean_mask * below
+
+
 @_pytree
 @dataclass(frozen=True)
 class QuadVelocity:
@@ -190,11 +204,13 @@ class DGTransport:
         self._wall_y = jnp.asarray(wall_y)
 
     # -- semi-discrete RHS ---------------------------------------------------
-    def rhs(self, psi, vel: QuadVelocity):
+    def rhs(self, psi, vel: QuadVelocity, face_masks=None):
         """d(psi)/dt for coefficients psi (K, ..., nx, ny).
 
         Extra middle dims batch multiple tracers through one pass (the
         velocity arrays are shared — cheaper than one call per tracer).
+        ``face_masks``: optional (face_x, face_y) land masks (see
+        face_masks_from_land) zeroing fluxes through coastlines.
         """
         mesh = self.mesh
         dtype = psi.dtype
@@ -232,6 +248,8 @@ class DGTransport:
                 face0 = jax.lax.broadcasted_iota(jnp.int32, g_x.shape, x_axis) == 0
                 g_x = jnp.where(face0 & is_global_edge(ax_x, "first"), 0.0, g_x)
         # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
+        if face_masks is not None:
+            g_x = g_x * face_masks[0]
         g_right = shift_p(g_x, x_axis, px, ax_x)
         edge_x = (
             apply_table(self._wa_x1.T, g_right) - apply_table(self._wa_x0.T, g_x)
@@ -249,6 +267,8 @@ class DGTransport:
             else:
                 face0 = jax.lax.broadcasted_iota(jnp.int32, g_y.shape, y_axis) == 0
                 g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
+        if face_masks is not None:
+            g_y = g_y * face_masks[1]
         g_top = shift_p(g_y, y_axis, py, ax_y)
         edge_y = (
             apply_table(self._wa_y1.T, g_top) - apply_table(self._wa_y0.T, g_y)
@@ -283,20 +303,21 @@ class DGTransport:
         return jnp.concatenate([mean[None], psi[1:] * theta[None]], axis=0)
 
     # -- SSP-RK time stepping ------------------------------------------------
-    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False):
+    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False, face_masks=None):
         """One SSP-RK step; ``limit`` applies the positivity limiter after
         every RK stage (SSP keeps the limited property through the convex
         combinations)."""
         lim = self.limit_positivity if limit else (lambda p: p)
+        rhs = lambda p: self.rhs(p, vel, face_masks)
         if self.scheme == "rk1":
-            return lim(psi + dt * self.rhs(psi, vel))
+            return lim(psi + dt * rhs(psi))
         if self.scheme == "rk2":
-            psi1 = lim(psi + dt * self.rhs(psi, vel))
-            return lim(0.5 * psi + 0.5 * (psi1 + dt * self.rhs(psi1, vel)))
+            psi1 = lim(psi + dt * rhs(psi))
+            return lim(0.5 * psi + 0.5 * (psi1 + dt * rhs(psi1)))
         if self.scheme == "rk3":
-            psi1 = lim(psi + dt * self.rhs(psi, vel))
-            psi2 = lim(0.75 * psi + 0.25 * (psi1 + dt * self.rhs(psi1, vel)))
-            return lim(psi / 3.0 + 2.0 / 3.0 * (psi2 + dt * self.rhs(psi2, vel)))
+            psi1 = lim(psi + dt * rhs(psi))
+            psi2 = lim(0.75 * psi + 0.25 * (psi1 + dt * rhs(psi1)))
+            return lim(psi / 3.0 + 2.0 / 3.0 * (psi2 + dt * rhs(psi2)))
         raise ValueError(f"unknown scheme {self.scheme}")
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
