@@ -137,6 +137,9 @@ class MEVPSolver:
             # Cross-device halos inside a fused kernel need remote DMA;
             # under shard_map use the XLA path (ppermute halos per subcycle).
             return "xla"
+        if not self.mesh.uniform:
+            # Graded meshes carry per-element metric arrays; XLA path only.
+            return "xla"
         if self.backend in ("pallas", "pallas-interpret"):
             return "single"
         if self.backend in ("pallas-tiled", "pallas-tiled-interpret"):
@@ -198,16 +201,20 @@ class MEVPSolver:
             # F_n = -int sigma dphi_n/dx: the node's basis ramps UP inside
             # the elements to its left (+dy/2 gradient integral) and DOWN in
             # those to its right, so F = (dy/2) (right elements - left).
-            cm_x = shift_m(cell, 0, px, ax_x)
-            cm_y = shift_m(cell, 1, py, ax_y)
-            cm_xy = shift_m(cm_x, 1, py, ax_y)
-            return 0.5 * dy * ((cm_y + cell) - (cm_xy + cm_x))
+            # Each element contributes with ITS OWN face length, so the
+            # metric weight is folded in before the shifts (graded meshes).
+            w = cell * (0.5 * dy)
+            wm_x = shift_m(w, 0, px, ax_x)
+            wm_y = shift_m(w, 1, py, ax_y)
+            wm_xy = shift_m(wm_x, 1, py, ax_y)
+            return (wm_y + w) - (wm_xy + wm_x)
 
         def scatter_y(cell):
-            cm_x = shift_m(cell, 0, px, ax_x)
-            cm_y = shift_m(cell, 1, py, ax_y)
-            cm_xy = shift_m(cm_x, 1, py, ax_y)
-            return 0.5 * dx * ((cm_x + cell) - (cm_xy + cm_y))
+            w = cell * (0.5 * dx)
+            wm_x = shift_m(w, 0, px, ax_x)
+            wm_y = shift_m(w, 1, py, ax_y)
+            wm_xy = shift_m(wm_x, 1, py, ax_y)
+            return (wm_x + w) - (wm_xy + wm_y)
 
         fu = scatter_x(s11) + scatter_y(s12)
         fv = scatter_x(s12) + scatter_y(s22)
@@ -232,10 +239,16 @@ class MEVPSolver:
         # Element ice strength P = P* h exp(-C (1-A)).
         strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
 
-        # Lumped nodal ice mass per unit area [kg m-2], clamped for stability.
-        m_node = p.rho_ice * cell_to_node(
-            h, self.mesh.periodic_x, self.mesh.periodic_y, self.spmd
+        # Lumped nodal ice mass per unit area [kg m-2] (area-weighted over
+        # the adjacent elements — exact for graded meshes), clamped.
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        cell_area = jnp.broadcast_to(
+            jnp.asarray(self.mesh.cell_area, dtype=dtype), h.shape
         )
+        node_area = cell_to_node(cell_area, px, py, self.spmd)
+        m_node = p.rho_ice * cell_to_node(
+            h * cell_area, px, py, self.spmd
+        ) / node_area
         ice_node = m_node > p.min_ice_mass
         m_safe = jnp.maximum(m_node, p.min_ice_mass)
 
@@ -259,6 +272,10 @@ class MEVPSolver:
             u_ocean=forcing.u_ocean,
             v_ocean=forcing.v_ocean,
         )
+        if not self.mesh.uniform:
+            # Per-node quarter-area weights for the force normalization
+            # (the fused kernels only run on uniform meshes).
+            consts["inv_w"] = 1.0 / node_area
 
         carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
         choice = self._kernel_choice()
@@ -328,11 +345,16 @@ class MEVPSolver:
         s22 = s22 + (s22_vp - s22) / alpha
         s12 = s12 + (s12_vp - s12) / alpha
 
-        # 3. stress divergence -> nodal force per unit area.
+        # 3. stress divergence -> nodal force per unit area: F_raw / W_node
+        # with W = sum of adjacent quarter-areas (= dx*dy on uniform
+        # interiors; per-node plane via consts["inv_w"] on graded meshes).
         fu, fv = self.stress_divergence(s11, s22, s12)
-        area = self.mesh.dx * self.mesh.dy
-        fu = fu / area
-        fv = fv / area
+        if "inv_w" in consts:
+            inv_w = consts["inv_w"]
+        else:
+            inv_w = 1.0 / (self.mesh.dx * self.mesh.dy)
+        fu = fu * inv_w
+        fv = fv * inv_w
 
         # 4. beta-relaxed velocity update, semi-implicit ocean drag.
         rel_u = u_ocean - u

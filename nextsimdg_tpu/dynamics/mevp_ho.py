@@ -163,6 +163,11 @@ class MEVPSolverHO:
         backend: str = "auto",  # interface parity; XLA path only for now
         spmd=(None, None),
     ) -> None:
+        if not mesh.uniform:
+            raise NotImplementedError(
+                "the CG2/dG1 solver currently requires a uniform mesh; "
+                "use the CG1 solver (Nextsim::MEVPDynamics) on graded meshes"
+            )
         self.mesh = mesh
         self.params = params
         self.spmd = tuple(spmd)

@@ -332,13 +332,18 @@ class DGTransport:
 
     # -- setup helpers -------------------------------------------------------
     def project(self, fn, dtype=jnp.float32):
-        """L2-project an analytic field onto DG coefficients (K, nx, ny)."""
-        coeffs = self.basis.project(
-            fn, dx=self.mesh.dx, dy=self.mesh.dy, x0=self.mesh.x0, y0=self.mesh.y0,
-            nx=self.mesh.nx, ny=self.mesh.ny,
-        )
+        """L2-project an analytic field onto DG coefficients (K, nx, ny).
+
+        The projection lives in reference coordinates, so the element metric
+        cancels — this works unchanged on graded meshes.
+        """
+        b = self.basis
+        x, y = self.mesh.volume_quad_coords(b.xq_vol, b.yq_vol)
+        values = np.broadcast_to(fn(x, y), (len(b.w_vol), self.mesh.nx, self.mesh.ny))
+        coeffs = np.einsum("q,kq,qxy->kxy", b.w_vol, b.psi_vol, values)
+        coeffs = coeffs / b.mass_diag[:, None, None]
         return jnp.asarray(coeffs, dtype=dtype)
 
     def total_mass(self, psi):
         """Integral of the tracer over the domain (cell means x areas)."""
-        return jnp.sum(psi[0]) * self.mesh.dx * self.mesh.dy
+        return jnp.sum(psi[0] * jnp.asarray(self.mesh.cell_area, dtype=psi.dtype))
