@@ -97,7 +97,14 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         )
 
         pipeline = None
-        if forcing_mode == "cyclone":
+        provider = None
+        if forcing_mode.startswith("archive:"):
+            # Time-interpolated forcing from an HDF5 archive.
+            from ..io.forcing_file import ForcingProvider
+
+            provider = ForcingProvider(forcing_mode.partition(":")[2], dtype=dtype)
+            dyn_forcing = provider.dynamics_forcing(start, nx, ny)
+        elif forcing_mode == "cyclone":
             from ..io.forcing_pipeline import ForcingPipeline
 
             pipeline = ForcingPipeline.cyclone(
@@ -127,6 +134,11 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                             u_ocean=jnp.asarray(fields["u_ocean"], dtype),
                             v_ocean=jnp.asarray(fields["v_ocean"], dtype),
                         )
+                elif provider is not None:
+                    with main_timer.scope("forcing"):
+                        t_now = start + (step - 1) * dt
+                        dyn_forcing = provider.dynamics_forcing(t_now, nx, ny)
+                        phys_forcing = provider.thermo_forcing(t_now, nx, ny)
                 with main_timer.scope("step"):
                     state = model.step(
                         state, phys_forcing, dyn_forcing, dt, do_thermo=do_thermo

@@ -62,8 +62,17 @@ class Model(Configured):
             self.structure = StructureFactory.generate_from_file(self.initial_filename)
             self.model_step.init()
             self.model_step.set_initial_data(self.structure)
-            # TODO real external data handling (Model.cpp:75-76): the
-            # reference seeds constant dummy forcing.
+            # Real external data handling (the reference's Model.cpp:75-76
+            # TODO): a time-interpolating forcing archive when configured,
+            # otherwise the reference's constant dummy forcing.
+            forcing_file = Configured.get_configuration("model.forcing_file", "")
+            if forcing_file:
+                from ..io.forcing_file import ForcingProvider
+
+                self.model_step.forcing_provider = ForcingProvider(
+                    forcing_file, dtype=self.structure.dtype
+                )
+                self.model_step.start_time = float(self.iterator.start_time)
             self.structure.forcing = dummy_forcing(
                 self.structure.nx, self.structure.ny, dtype=self.structure.dtype
             )
