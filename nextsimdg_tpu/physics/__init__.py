@@ -11,6 +11,7 @@ from . import freezing  # noqa: F401 - registers freezing-point modules
 from . import albedo  # noqa: F401 - registers albedo modules
 from . import ice_ocean_heat_flux  # noqa: F401
 from . import thermo_ice0  # noqa: F401
+from . import thermo_winton  # noqa: F401
 from . import concentration  # noqa: F401
 from .nextsim_physics import NextsimPhysics  # noqa: F401  (registers IPhysics1d)
 

@@ -187,6 +187,10 @@ class NextsimPhysics(Configured):
         q_io = self._ice_ocean_heat_flux.flux(prog.sst, t_freeze, mlbhc, dt)
 
         # massFluxIceOcean (:200-220): thermodynamics ...
+        layer_kwargs = {}
+        if prog.tice.shape[0] >= 3:
+            # Multi-layer schemes (ThermoWinton): tice = [Ts, T1, T2].
+            layer_kwargs = dict(tice1=prog.tice[1], tice2=prog.tice[2])
         slab = self._thermo.calculate(
             hice=prog.hice,
             cice=prog.cice,
@@ -201,6 +205,7 @@ class NextsimPhysics(Configured):
             snowfall=forcing.snowfall,
             dt=dt,
             min_thickness=self.min_thick,
+            **layer_kwargs,
         )
         q_io = slab.q_io
         hi_new = slab.hi_true
@@ -262,9 +267,16 @@ class NextsimPhysics(Configured):
 
         # Commit (PrognosticData::updateAndIntegrate, PrognosticData.cpp:63-94):
         # effective thickness = true thickness * concentration; ice temperature
-        # layer 0 is the slab surface temperature, deeper layers take the
-        # PhysicsData init value 0 (the reference never writes m_TiceNew[1:]).
-        tice_new = jnp.zeros_like(prog.tice).at[0].set(slab.t_surf)
+        # layer 0 is the slab surface temperature. For multi-layer schemes the
+        # interior layers come from the thermodynamics module; for the 0-layer
+        # reference scheme deeper layers take the PhysicsData init value 0
+        # (the reference never writes m_TiceNew[1:]).
+        if slab.t_layers is not None and prog.tice.shape[0] >= 1 + len(slab.t_layers):
+            layers = [slab.t_surf, *slab.t_layers]
+            layers += [jnp.zeros_like(slab.t_surf)] * (prog.tice.shape[0] - len(layers))
+            tice_new = jnp.stack(layers)
+        else:
+            tice_new = jnp.zeros_like(prog.tice).at[0].set(slab.t_surf)
         updated = PrognosticState(
             hice=hi_new * conc_new,
             cice=conc_new,

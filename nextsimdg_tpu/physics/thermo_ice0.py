@@ -39,6 +39,8 @@ class SlabUpdate:
     t_surf: jnp.ndarray  #: updated ice surface temperature [degC]
     q_io: jnp.ndarray  #: ice-ocean heat flux incl. full-melt latent heat
     h_ice_from_snow: jnp.ndarray  #: ice formed by flooded snow [m]
+    #: Interior layer temperatures (multi-layer schemes; None for 0-layer).
+    t_layers: tuple = None
 
 
 @register_implementation(INTERFACE, "Nextsim::ThermoIce0")
@@ -67,6 +69,7 @@ class ThermoIce0(Configured):
         snowfall,  # snowfall rate [kg m-2 s-1]
         dt,  # timestep [s]
         min_thickness,  # NextsimPhysics::minimumIceThickness()
+        **_unused,  # multi-layer args (tice1, tice2) of other schemes
     ) -> SlabUpdate:
         bulk_lh_snow = Water.Lf * Ice.rho_snow
         bulk_lh_ice = Water.Lf * Ice.rho
