@@ -197,24 +197,42 @@ class MEVPSolver:
         ax_x, ax_y = self.spmd
         dx, dy = self.mesh.dx, self.mesh.dy
 
-        def scatter_x(cell):
-            # F_n = -int sigma dphi_n/dx: the node's basis ramps UP inside
-            # the elements to its left (+dy/2 gradient integral) and DOWN in
-            # those to its right, so F = (dy/2) (right elements - left).
-            # Each element contributes with ITS OWN face length, so the
-            # metric weight is folded in before the shifts (graded meshes).
-            w = cell * (0.5 * dy)
-            wm_x = shift_m(w, 0, px, ax_x)
-            wm_y = shift_m(w, 1, py, ax_y)
-            wm_xy = shift_m(wm_x, 1, py, ax_y)
-            return (wm_y + w) - (wm_xy + wm_x)
+        # F_n = -int sigma dphi_n/dx: the node's basis ramps UP inside the
+        # elements to its left (+dy/2 gradient integral) and DOWN in those
+        # to its right, so F = (dy/2)(right elements - left). On uniform
+        # meshes the scalar metric factors come out of the shifts, letting
+        # XLA share one set of neighbor shifts between scatter_x/scatter_y;
+        # graded meshes need each element weighted by ITS OWN face length
+        # before shifting.
+        if self.mesh.uniform:
 
-        def scatter_y(cell):
-            w = cell * (0.5 * dx)
-            wm_x = shift_m(w, 0, px, ax_x)
-            wm_y = shift_m(w, 1, py, ax_y)
-            wm_xy = shift_m(wm_x, 1, py, ax_y)
-            return (wm_x + w) - (wm_xy + wm_y)
+            def scatter_x(cell):
+                cm_x = shift_m(cell, 0, px, ax_x)
+                cm_y = shift_m(cell, 1, py, ax_y)
+                cm_xy = shift_m(cm_x, 1, py, ax_y)
+                return 0.5 * dy * ((cm_y + cell) - (cm_xy + cm_x))
+
+            def scatter_y(cell):
+                cm_x = shift_m(cell, 0, px, ax_x)
+                cm_y = shift_m(cell, 1, py, ax_y)
+                cm_xy = shift_m(cm_x, 1, py, ax_y)
+                return 0.5 * dx * ((cm_x + cell) - (cm_xy + cm_y))
+
+        else:
+
+            def scatter_x(cell):
+                w = cell * (0.5 * dy)
+                wm_x = shift_m(w, 0, px, ax_x)
+                wm_y = shift_m(w, 1, py, ax_y)
+                wm_xy = shift_m(wm_x, 1, py, ax_y)
+                return (wm_y + w) - (wm_xy + wm_x)
+
+            def scatter_y(cell):
+                w = cell * (0.5 * dx)
+                wm_x = shift_m(w, 0, px, ax_x)
+                wm_y = shift_m(w, 1, py, ax_y)
+                wm_xy = shift_m(wm_x, 1, py, ax_y)
+                return (wm_x + w) - (wm_xy + wm_y)
 
         fu = scatter_x(s11) + scatter_y(s12)
         fv = scatter_x(s12) + scatter_y(s22)
