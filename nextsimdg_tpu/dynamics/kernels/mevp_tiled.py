@@ -27,13 +27,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Default tile and halo (= subcycles per round). Mosaic DMA slices must be
-#: lane-aligned (multiples of 128), so the halo'd block edge T+2H must be a
-#: multiple of 128: T=256, H=64 -> 384-wide blocks, 14 fields * 384^2 * 4 B
-#: = 8.3 MB of VMEM, 64 subcycles per HBM pass, 2.25x redundant compute at
-#: tile edges (compute is cheap; HBM passes were the bottleneck).
+#: Default tile and halos (min halo = subcycles per round). Mosaic DMA
+#: slices must be lane-aligned (multiples of 128) and sublane-aligned
+#: (multiples of 8): T=256 with halos (32 sublane, 64 lane) -> 320x384
+#: blocks, 12 fields * 320*384 * 4 B = 5.9 MB of VMEM, 32 subcycles per
+#: HBM pass, 1.88x redundant compute at tile edges.
 DEFAULT_TILE = 256
-DEFAULT_HALO = 64
+DEFAULT_HALO_X = 32
+DEFAULT_HALO_Y = 64
 
 _STATE_NAMES = ("u", "v", "s11", "s22", "s12")
 _CONST_NAMES = (
@@ -52,24 +53,31 @@ def _pad(arr, halo: int, value: float):
 def mevp_subcycles_tiled(
     solver,  # MEVPSolver (static; carries mesh + params)
     state_arrays,  # (u, v, s11, s22, s12), each (nx, ny)
-    consts: dict,  # the 9 per-step constant fields
+    consts: dict,  # the per-step constant fields
     dt: float,
     n_subcycles: int,
     tile: int = DEFAULT_TILE,
-    halo: int = DEFAULT_HALO,
+    halo: int = None,
+    halo_x: int = DEFAULT_HALO_X,
+    halo_y: int = DEFAULT_HALO_Y,
     interpret: bool = False,
 ):
     """Run n_subcycles via temporally-blocked tiles; returns the 5 states."""
+    if halo is not None:
+        halo_x = halo_y = halo
     u, v, s11, s22, s12 = state_arrays
     nx, ny = u.shape
     dtype = u.dtype
     n_ti, n_tj = nx // tile, ny // tile
-    block = tile + 2 * halo
+    block_x = tile + 2 * halo_x
+    block_y = tile + 2 * halo_y
+    sub_per_round = min(halo_x, halo_y)
 
     # Pad the per-step constants once; zeros everywhere (= closed walls;
     # active=0 pins halo-exterior nodes, and no divisor fields remain since
     # dt/m is precomputed).
-    consts_padded = [_pad(consts[name], halo, 0.0) for name in _CONST_NAMES]
+    pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (halo_y, halo_y)))
+    consts_padded = [pad2(consts[name]) for name in _CONST_NAMES]
 
     n_inputs = len(_CONST_NAMES) + len(_STATE_NAMES)
 
@@ -89,7 +97,7 @@ def mevp_subcycles_tiled(
             copies = []
             for idx, (ref, dst) in enumerate(zip(in_refs, scratch)):
                 dma = pltpu.make_async_copy(
-                    ref.at[pl.ds(row0, block), pl.ds(col0, block)],
+                    ref.at[pl.ds(row0, block_x), pl.ds(col0, block_y)],
                     dst,
                     sems.at[idx],
                 )
@@ -110,7 +118,7 @@ def mevp_subcycles_tiled(
 
             final = jax.lax.fori_loop(0, n_sub, body, carry0)
             for ref, value in zip(out_refs, final):
-                ref[:] = value[halo : halo + tile, halo : halo + tile]
+                ref[:] = value[halo_x : halo_x + tile, halo_y : halo_y + tile]
 
         return kernel
 
@@ -122,16 +130,16 @@ def mevp_subcycles_tiled(
         for _ in range(5)
     ]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_inputs
-    scratch_shapes = [pltpu.VMEM((block, block), dtype) for _ in range(n_inputs)] + [
+    scratch_shapes = [pltpu.VMEM((block_x, block_y), dtype) for _ in range(n_inputs)] + [
         pltpu.SemaphoreType.DMA((n_inputs,)),
     ]
 
     states = (u, v, s11, s22, s12)
     remaining = n_subcycles
     while remaining > 0:
-        n_sub = min(halo, remaining)
+        n_sub = min(sub_per_round, remaining)
         remaining -= n_sub
-        padded_states = [_pad(s, halo, 0.0) for s in states]
+        padded_states = [pad2(s) for s in states]
         states = pl.pallas_call(
             round_kernel(n_sub),
             grid=(n_ti, n_tj),
