@@ -48,6 +48,16 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
 
     import jax.numpy as jnp
 
+    # Register all modules, then apply [Modules] selections from the config
+    # (thermodynamics, dynamics solver, albedo, ... — same as the thermo CLI).
+    import nextsimdg_tpu.physics  # noqa: F401
+    import nextsimdg_tpu.dynamics  # noqa: F401
+    from ..config import ConfiguredModule
+    from ..modules import ModuleRegistry
+
+    ModuleRegistry.get_loader().set_all_defaults()
+    ConfiguredModule.parse_configurator()
+
     from ..coupled import CoupledModel
     from ..dynamics import MEVPParams, RectMesh
     from ..dynamics.mevp import DynamicsForcing

@@ -41,6 +41,20 @@ def test_coupled_cli_constant_forcing(tmp_path, monkeypatch):
     assert state.hice.shape == (3, 16, 16)
 
 
+def test_coupled_cli_applies_module_selections(tmp_path, monkeypatch):
+    """[Modules] sections select the dynamics solver through the CLI."""
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(
+        tmp_path,
+        extra="[Modules]\nNextsim::IDynamics = Nextsim::FreeDrift\n",
+    )
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    state = load_coupled_state("coupled_restart.chk")
+    # Free drift carries no internal stress.
+    assert float(np.max(np.abs(np.asarray(state.velocity.s11)))) == 0.0
+    assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0.0
+
+
 @pytest.mark.skipif(shutil.which("make") is None, reason="no toolchain")
 def test_coupled_cli_cyclone_forcing(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
