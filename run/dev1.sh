@@ -2,5 +2,6 @@
 # Canonical development run (cf. reference run/dev1.sh): generate the restart
 # if needed, then run one timestep on the 10x10 devgrid.
 cd "$(dirname "$0")"
+export PYTHONPATH="$(cd .. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
 [ -f dev1.res.nc ] || python -m nextsimdg_tpu.tools.make_dev_restart dev1.res.nc
 python -m nextsimdg_tpu --config-file dev1.cfg
