@@ -80,7 +80,10 @@ class IStructure:
 
     def dump(self, file_path: str) -> None:
         """Write the prognostic state as a restart file."""
-        prog = self.prognostic
+        from ..state import fetch_state
+
+        # One batched, alias-free device->host transfer (see fetch_state).
+        prog = fetch_state(self.prognostic)
         fields = {
             "hice": np.asarray(prog.hice, dtype=np.float64),
             "cice": np.asarray(prog.cice, dtype=np.float64),

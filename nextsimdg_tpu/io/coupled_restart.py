@@ -33,6 +33,9 @@ def _get(state: CoupledState, path: str):
 
 
 def save_coupled_state(path: str, state: CoupledState, time: float = 0.0) -> None:
+    from ..state import fetch_state
+
+    state = fetch_state(state)  # batched, alias-free device->host transfer
     with h5py.File(path, "w") as handle:
         meta = handle.create_group("structure")
         meta.attrs.create("type", np.bytes_(STRUCTURE_TYPE))

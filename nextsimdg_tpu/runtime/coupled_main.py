@@ -39,6 +39,9 @@ from ..utils.timer import main_timer
 
 
 def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
+    from .main import _honor_platform_env
+
+    _honor_platform_env()
     argv = list(sys.argv if argv is None else argv)
     Configurator.set_command_line(argv)
     cmd_line = CommandLineParser(argv)

@@ -173,6 +173,20 @@ class PrognosticBuilder:
         )
 
 
+def fetch_state(tree):
+    """Device->host fetch of a pytree, fast on remote-device tunnels.
+
+    Two pathologies of naive per-leaf ``np.asarray`` on tunneled devices:
+    each leaf is a separate blocking round trip, and buffers that alias
+    *uploaded* host data (e.g. jit outputs XLA aliased to unchanged inputs)
+    take orders of magnitude longer to download than computed buffers.
+    Copying through a jit breaks the aliasing; ``device_get`` batches the
+    transfer.
+    """
+    copied = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
+    return jax.device_get(copied)
+
+
 def safe_div(num: jax.Array, den: jax.Array) -> jax.Array:
     """num/den where den != 0, else 0 — grad-safe masked division."""
     nonzero = den != 0
