@@ -58,7 +58,7 @@ def main() -> None:
     # Fixed chunk size: the scan is compiled ONCE, warmed up, then timed, so
     # neither compilation nor the per-dispatch RPC latency (~25 ms through
     # the axon tunnel) pollutes the measurement.
-    chunk = 256
+    chunk = 1024
 
     def run(state):
         return model.run(

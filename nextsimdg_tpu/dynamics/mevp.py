@@ -348,20 +348,24 @@ class MEVPSolver:
             + 2.0 * e11 * e22 * (1.0 - 1.0 / e2)
             + 4.0 / e2 * e12 * e12
         )
-        # Replacement pressure: P Delta/(Delta+Delta_min).
-        denom = delta + p.delta_min
-        zeta = 0.5 * strength / denom
-        eta = zeta / e2
-        p_rep = strength * delta / denom
+        # Replacement pressure: P Delta/(Delta+Delta_min). One shared
+        # reciprocal feeds zeta and p_rep (VPU divides are ~as costly as a
+        # whole-plane shift; see docs/performance.md).
+        inv_denom = 1.0 / (delta + p.delta_min)
+        zeta = 0.5 * strength * inv_denom
+        eta = zeta * (1.0 / e2)
+        p_rep = strength * delta * inv_denom
 
-        # 2. VP stress and mEVP alpha-relaxation.
+        # 2. VP stress and mEVP alpha-relaxation (1/alpha is a compile-time
+        # constant multiply).
+        inv_alpha = 1.0 / alpha
         div = e11 + e22
         s11_vp = 2.0 * eta * e11 + (zeta - eta) * div - 0.5 * p_rep
         s22_vp = 2.0 * eta * e22 + (zeta - eta) * div - 0.5 * p_rep
         s12_vp = 2.0 * eta * e12
-        s11 = s11 + (s11_vp - s11) / alpha
-        s22 = s22 + (s22_vp - s22) / alpha
-        s12 = s12 + (s12_vp - s12) / alpha
+        s11 = s11 + (s11_vp - s11) * inv_alpha
+        s22 = s22 + (s22_vp - s22) * inv_alpha
+        s12 = s12 + (s12_vp - s12) * inv_alpha
 
         # 3. stress divergence -> nodal force per unit area: F_raw / W_node
         # with W = sum of adjacent quarter-areas (= dx*dy on uniform
@@ -381,15 +385,20 @@ class MEVPSolver:
         cor_u = p.f_coriolis * (v - v_ocean) if p.use_coriolis else 0.0
         cor_v = -p.f_coriolis * (u - u_ocean) if p.use_coriolis else 0.0
 
+        # u and v share the drag denominator; folding the Dirichlet mask
+        # into the shared reciprocal turns (2 divides + 2 multiplies) into
+        # (1 divide + 2 multiplies).
+        inv_drag = active / (1.0 + beta + dt_m * c_w)
         u_new = (
             beta * u + b_u + dt_m * (fu + c_w * u_ocean) + dt * cor_u
-        ) / (1.0 + beta + dt_m * c_w)
+        ) * inv_drag
         v_new = (
             beta * v + b_v + dt_m * (fv + c_w * v_ocean) + dt * cor_v
-        ) / (1.0 + beta + dt_m * c_w)
+        ) * inv_drag
 
-        # 5. Dirichlet mask: land and ice-free nodes stay at rest.
-        return (u_new * active, v_new * active, s11, s22, s12)
+        # 5. Dirichlet mask (inv_drag includes it): land and ice-free nodes
+        # stay at rest.
+        return (u_new, v_new, s11, s22, s12)
 
     def boundary_mask(self, dtype=jnp.float32):
         """1 on interior owned nodes, 0 on no-slip walls.

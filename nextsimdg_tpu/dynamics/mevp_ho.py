@@ -298,6 +298,9 @@ class MEVPSolverHO:
 
         h_node = self.node_thickness(h)
         weights = self.node_weights()
+        inv_weights = HOField(
+            **{k: 1.0 / getattr(weights, k) for k in PLANES}
+        )
 
         def per_plane(fn):
             return HOField(**{k: fn(k) for k in PLANES})
@@ -341,10 +344,10 @@ class MEVPSolverHO:
                 + 2.0 * e11_q * e22_q * (1.0 - 1.0 / e2)
                 + 4.0 / e2 * e12_q * e12_q
             )
-            denom = delta_q + p.delta_min
-            zeta_q = 0.5 * strength[None] / denom
-            eta_q = zeta_q / e2
-            p_rep_q = strength[None] * delta_q / denom
+            inv_denom = 1.0 / (delta_q + p.delta_min)
+            zeta_q = 0.5 * strength[None] * inv_denom
+            eta_q = zeta_q * (1.0 / e2)
+            p_rep_q = strength[None] * delta_q * inv_denom
             div_q = e11_q + e22_q
             s11_vp_q = 2.0 * eta_q * e11_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
             s22_vp_q = 2.0 * eta_q * e22_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
@@ -354,39 +357,43 @@ class MEVPSolverHO:
             s22_vp = apply_table(proj.T, s22_vp_q)
             s12_vp = apply_table(proj.T, s12_vp_q)
 
-            s11 = s11 + (s11_vp - s11) / alpha
-            s22 = s22 + (s22_vp - s22) / alpha
-            s12 = s12 + (s12_vp - s12) / alpha
+            inv_alpha = 1.0 / alpha
+            s11 = s11 + (s11_vp - s11) * inv_alpha
+            s22 = s22 + (s22_vp - s22) * inv_alpha
+            s12 = s12 + (s12_vp - s12) * inv_alpha
 
             fu_raw, fv_raw = self.stress_divergence(s11, s22, s12)
 
-            def update(comp, b_comp, f_raw, ocean, other, other_ocean, sign):
-                def plane(k):
-                    uk = getattr(comp, k)
-                    f = getattr(f_raw, k) / getattr(weights, k)
-                    uo = getattr(ocean, k)
-                    vo_other = getattr(other_ocean, k)
-                    rel_u = uo - uk
-                    rel_v = vo_other - getattr(other, k)
-                    c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(
-                        rel_u * rel_u + rel_v * rel_v
-                    )
-                    cor = (
-                        sign * p.f_coriolis * (getattr(other, k) - vo_other)
-                        if p.use_coriolis
-                        else 0.0
-                    )
-                    dm = getattr(dt_m, k)
-                    new = (
-                        beta * uk + getattr(b_comp, k)
-                        + dm * (f + c_w * uo) + dt * cor
-                    ) / (1.0 + beta + dm * c_w)
-                    return new * getattr(active, k)
+            # u and v at a node share |u_rel| and the drag denominator:
+            # compute c_w once per plane and fold the Dirichlet mask into
+            # one shared reciprocal (1 divide + 1 sqrt per plane, not 2+2).
+            def plane_uv(k):
+                uk, vk = getattr(u, k), getattr(v, k)
+                uo = getattr(forcing.u_ocean, k)
+                vo = getattr(forcing.v_ocean, k)
+                rel_u = uo - uk
+                rel_v = vo - vk
+                c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(
+                    rel_u * rel_u + rel_v * rel_v
+                )
+                cor_u = p.f_coriolis * (vk - vo) if p.use_coriolis else 0.0
+                cor_v = -p.f_coriolis * (uk - uo) if p.use_coriolis else 0.0
+                dm = getattr(dt_m, k)
+                inv_w = getattr(inv_weights, k)
+                inv_drag = getattr(active, k) / (1.0 + beta + dm * c_w)
+                new_u = (
+                    beta * uk + getattr(b_u, k)
+                    + dm * (getattr(fu_raw, k) * inv_w + c_w * uo) + dt * cor_u
+                ) * inv_drag
+                new_v = (
+                    beta * vk + getattr(b_v, k)
+                    + dm * (getattr(fv_raw, k) * inv_w + c_w * vo) + dt * cor_v
+                ) * inv_drag
+                return new_u, new_v
 
-                return per_plane(plane)
-
-            u_new = update(u, b_u, fu_raw, forcing.u_ocean, v, forcing.v_ocean, +1.0)
-            v_new = update(v, b_v, fv_raw, forcing.v_ocean, u, forcing.u_ocean, -1.0)
+            uv = {k: plane_uv(k) for k in PLANES}
+            u_new = HOField(**{k: uv[k][0] for k in PLANES})
+            v_new = HOField(**{k: uv[k][1] for k in PLANES})
             return (u_new, v_new, s11, s22, s12)
 
         u, v, s11, s22, s12 = jax.lax.fori_loop(

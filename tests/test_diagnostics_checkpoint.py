@@ -47,3 +47,30 @@ def test_coupled_checkpoint_roundtrip_and_resume(tmp_path):
     resumed = model.step(restored, pf, df, dt=600.0)
     for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(resumed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14)
+
+
+def test_coupled_checkpoint_roundtrip_high_order(tmp_path):
+    """CG2/dG1 velocity states (HOField planes) checkpoint and resume too."""
+    from nextsimdg_tpu.dynamics.mevp_ho import HOVelocityState
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    ModuleRegistry.get_loader().set_implementation(
+        "Nextsim::IDynamics", "Nextsim::MEVPHighOrder"
+    )
+    from tests.test_coupled import build_model
+
+    model, state, pf, df = build_model(n=8, degree=1, n_sub=10)
+    state1 = model.step(state, pf, df, dt=600.0)
+    assert isinstance(state1.velocity, HOVelocityState)
+
+    path = str(tmp_path / "coupled_ho.chk")
+    save_coupled_state(path, state1, time=600.0)
+    restored = load_coupled_state(path, dtype=jnp.float64)
+    assert isinstance(restored.velocity, HOVelocityState)
+    for a, b in zip(jax.tree.leaves(state1), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-15)
+
+    direct = model.step(state1, pf, df, dt=600.0)
+    resumed = model.step(restored, pf, df, dt=600.0)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14)
