@@ -21,7 +21,12 @@ section:
     subcycles = 100
     thermo = true
     forcing = cyclone               # constant | cyclone (native engine)
+                                    # | archive:<forcing.h5> | era5:<era5.nc>
     wind = 15.0                     # constant mode / cyclone vmax
+    lat0 = 70.0                     # era5 mode: mesh lat/lon box
+    lat1 = 80.0
+    lon0 = 0.0
+    lon1 = 20.0
 
 Run: ``python -m nextsimdg_tpu.runtime.coupled_main --config-file box.cfg``
 """
@@ -111,7 +116,24 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
 
         pipeline = None
         provider = None
-        if forcing_mode.startswith("archive:"):
+        if forcing_mode.startswith("era5:"):
+            # ERA5/CF netCDF reanalysis: decode + regrid once onto the model
+            # mesh's lat/lon box, then run from the resulting archive.
+            from ..io.era5 import era5_to_archive, lonlat_box
+            from ..io.forcing_file import ForcingProvider
+
+            lat0 = float(get("dynamics.lat0", 70.0))
+            lat1 = float(get("dynamics.lat1", 80.0))
+            lon0 = float(get("dynamics.lon0", 0.0))
+            lon1 = float(get("dynamics.lon1", 20.0))
+            dst_lats, dst_lons = lonlat_box(nx, ny, lat0, lat1, lon0, lon1)
+            archive_path = get("dynamics.era5_archive", "era5_forcing.h5")
+            era5_to_archive(
+                forcing_mode.partition(":")[2], archive_path, dst_lats, dst_lons
+            )
+            provider = ForcingProvider(archive_path, dtype=dtype)
+            dyn_forcing = provider.dynamics_forcing(start, nx, ny)
+        elif forcing_mode.startswith("archive:"):
             # Time-interpolated forcing from an HDF5 archive.
             from ..io.forcing_file import ForcingProvider
 
