@@ -100,6 +100,15 @@ class DynamicsForcing:
         return cls(u_atm=nodes, v_atm=nodes, u_ocean=nodes, v_ocean=nodes)
 
 
+def _metric(value, dtype):
+    """Mesh metric factor as a weak scalar or a dtype-matched array (so f64
+    numpy metric planes/np.float64 scalars never promote an f32 state
+    inside fori_loop)."""
+    if isinstance(value, (int, float)):  # incl. np.float64 (float subclass)
+        return float(value)
+    return jnp.asarray(value, dtype=dtype)
+
+
 def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False, spmd=(None, None)):
     """Average the 4 adjacent element values to each owned node.
 
@@ -170,7 +179,8 @@ class MEVPSolver:
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
         ax_x, ax_y = self.spmd
-        dx, dy = self.mesh.dx, self.mesh.dy
+        dx = _metric(self.mesh.dx, u.dtype)
+        dy = _metric(self.mesh.dy, u.dtype)
         u00, v00 = u, v
         u10, v10 = shift_p(u, 0, px, ax_x), shift_p(v, 0, px, ax_x)
         u01, v01 = shift_p(u, 1, py, ax_y), shift_p(v, 1, py, ax_y)
@@ -195,7 +205,8 @@ class MEVPSolver:
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
         ax_x, ax_y = self.spmd
-        dx, dy = self.mesh.dx, self.mesh.dy
+        dx = _metric(self.mesh.dx, s11.dtype)
+        dy = _metric(self.mesh.dy, s11.dtype)
 
         # F_n = -int sigma dphi_n/dx: the node's basis ramps UP inside the
         # elements to its left (+dy/2 gradient integral) and DOWN in those

@@ -224,9 +224,11 @@ class DGTransport:
         x_axis, y_axis = psi.ndim - 2, psi.ndim - 1
 
         # Volume term: integrand at quad points, contracted back to dofs.
+        inv_dx = 1.0 / mesh.dx if mesh.uniform else 1.0 / jnp.asarray(mesh.dx, dtype)
+        inv_dy = 1.0 / mesh.dy if mesh.uniform else 1.0 / jnp.asarray(mesh.dy, dtype)
         psi_q = apply_table(self._psi_vol, psi)
-        gx = apply_table(self._wgx_vol.T, vx_vol * psi_q) / mesh.dx
-        gy = apply_table(self._wgy_vol.T, vy_vol * psi_q) / mesh.dy
+        gx = apply_table(self._wgx_vol.T, vx_vol * psi_q) * inv_dx
+        gy = apply_table(self._wgy_vol.T, vy_vol * psi_q) * inv_dy
         volume = gx + gy
 
         # Upwind edge fluxes, x-direction (owned left-face edges).
@@ -250,10 +252,19 @@ class DGTransport:
         # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
         if face_masks is not None:
             g_x = g_x * face_masks[0]
+        if not mesh.uniform:
+            # Scale by the owned face's metric length BEFORE the neighbor
+            # shift: both sides of a shared face then integrate the same
+            # length * flux, which keeps curvilinear meshes conservative.
+            g_x = g_x * jnp.asarray(mesh.face_len_x, dtype=dtype)
         g_right = shift_p(g_x, x_axis, px, ax_x)
         edge_x = (
             apply_table(self._wa_x1.T, g_right) - apply_table(self._wa_x0.T, g_x)
-        ) / mesh.dx
+        )
+        if mesh.uniform:
+            edge_x = edge_x / mesh.dx
+        else:
+            edge_x = edge_x / jnp.asarray(mesh.cell_area, dtype=dtype)
 
         # Upwind edge fluxes, y-direction (owned bottom-face edges).
         tr_y1 = apply_table(self._psi_y1, psi)  # top-face traces
@@ -269,10 +280,18 @@ class DGTransport:
                 g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
         if face_masks is not None:
             g_y = g_y * face_masks[1]
+        if not mesh.uniform:
+            # Zonal faces carry their own latitude-line length (cos(phi_j)
+            # on a sphere): a constant northward flow correctly converges.
+            g_y = g_y * jnp.asarray(mesh.face_len_y, dtype=dtype)
         g_top = shift_p(g_y, y_axis, py, ax_y)
         edge_y = (
             apply_table(self._wa_y1.T, g_top) - apply_table(self._wa_y0.T, g_y)
-        ) / mesh.dy
+        )
+        if mesh.uniform:
+            edge_y = edge_y / mesh.dy
+        else:
+            edge_y = edge_y / jnp.asarray(mesh.cell_area, dtype=dtype)
 
         rhs = volume - edge_x - edge_y
         inv_mass = self._inv_mass

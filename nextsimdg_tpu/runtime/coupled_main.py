@@ -23,7 +23,8 @@ section:
     forcing = cyclone               # constant | cyclone (native engine)
                                     # | archive:<forcing.h5> | era5:<era5.nc>
     wind = 15.0                     # constant mode / cyclone vmax
-    lat0 = 70.0                     # era5 mode: mesh lat/lon box
+    geometry = cartesian            # cartesian | spherical (lon-lat metric)
+    lat0 = 70.0                     # spherical mesh extent / era5 box
     lat1 = 80.0
     lon0 = 0.0
     lon1 = 20.0
@@ -92,9 +93,21 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         do_thermo = bool(get("dynamics.thermo", True))
         forcing_mode = get("dynamics.forcing", "constant")
         wind = float(get("dynamics.wind", 15.0))
+        geometry = get("dynamics.geometry", "cartesian")
+        lat0 = float(get("dynamics.lat0", 70.0))
+        lat1 = float(get("dynamics.lat1", 80.0))
+        lon0 = float(get("dynamics.lon0", 0.0))
+        lon1 = float(get("dynamics.lon1", 20.0))
         init_file = get("model.init_file", "")
 
-        mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy)
+        if geometry == "spherical":
+            from ..dynamics.mesh import SphericalMesh
+
+            mesh = SphericalMesh(
+                nx=nx, ny=ny, lon0=lon0, lon1=lon1, lat0=lat0, lat1=lat1
+            )
+        else:
+            mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy)
         model = CoupledModel(
             mesh, degree=degree, mevp_params=MEVPParams(), n_subcycles=subcycles
         )
@@ -122,11 +135,10 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             from ..io.era5 import era5_to_archive, lonlat_box
             from ..io.forcing_file import ForcingProvider
 
-            lat0 = float(get("dynamics.lat0", 70.0))
-            lat1 = float(get("dynamics.lat1", 80.0))
-            lon0 = float(get("dynamics.lon0", 0.0))
-            lon1 = float(get("dynamics.lon1", 20.0))
-            dst_lats, dst_lons = lonlat_box(nx, ny, lat0, lat1, lon0, lon1)
+            if geometry == "spherical":
+                dst_lats, dst_lons = mesh.lonlat_centers()
+            else:
+                dst_lats, dst_lons = lonlat_box(nx, ny, lat0, lat1, lon0, lon1)
             archive_path = get("dynamics.era5_archive", "era5_forcing.h5")
             era5_to_archive(
                 forcing_mode.partition(":")[2], archive_path, dst_lats, dst_lons

@@ -76,6 +76,29 @@ def test_coupled_cli_era5_forcing(tmp_path, monkeypatch):
     assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0.0
 
 
+def test_coupled_cli_spherical_geometry_with_era5(tmp_path, monkeypatch):
+    """geometry = spherical: lon-lat metric mesh; ERA5 regrids onto its
+    own element centers."""
+    from tests.test_era5 import _write_era5
+
+    monkeypatch.chdir(tmp_path)
+    era5_path = str(tmp_path / "era5.nc")
+    _write_era5(era5_path)
+    cfg = write_cfg(
+        tmp_path,
+        forcing=f"era5:{era5_path}",
+        extra=(
+            "geometry = spherical\n"
+            "lat0 = 71.0\nlat1 = 79.0\nlon0 = 11.0\nlon1 = 31.0\n"
+        ),
+    )
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    state = load_coupled_state("coupled_restart.chk")
+    for leaf in (state.hice, state.cice, state.velocity.u):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0.0
+
+
 @pytest.mark.skipif(shutil.which("make") is None, reason="no toolchain")
 def test_coupled_cli_cyclone_forcing(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
