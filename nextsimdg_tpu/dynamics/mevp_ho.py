@@ -55,14 +55,20 @@ class HOField:
 
     @classmethod
     def from_function(cls, mesh: RectMesh, fn, dtype=jnp.float64) -> "HOField":
-        """Sample an analytic field at the owned node coordinates."""
-        ix = np.arange(mesh.nx)[:, None]
-        jy = np.arange(mesh.ny)[None, :]
+        """Sample an analytic field at the owned node coordinates.
+
+        Uses the mesh node positions directly, so graded meshes (per-column
+        dx / per-row dy) sample at the true physical node locations."""
+        xn, yn = mesh.node_coords()  # (nx+1, ny+1) physical corners
+        xv = xn[:-1, :-1]
+        yv = yn[:-1, :-1]
+        xm = 0.5 * (xn[:-1, :-1] + xn[1:, :-1])  # x midpoints per element
+        ym = 0.5 * (yn[:-1, :-1] + yn[:-1, 1:])  # y midpoints per element
         coords = {
-            "v": (mesh.x0 + ix * mesh.dx, mesh.y0 + jy * mesh.dy),
-            "b": (mesh.x0 + (ix + 0.5) * mesh.dx, mesh.y0 + jy * mesh.dy),
-            "l": (mesh.x0 + ix * mesh.dx, mesh.y0 + (jy + 0.5) * mesh.dy),
-            "c": (mesh.x0 + (ix + 0.5) * mesh.dx, mesh.y0 + (jy + 0.5) * mesh.dy),
+            "v": (xv, yv),
+            "b": (xm, yv),
+            "l": (xv, ym),
+            "c": (xm, ym),
         }
         values = {}
         for name, (x, y) in coords.items():
@@ -163,11 +169,6 @@ class MEVPSolverHO:
         backend: str = "auto",  # interface parity; XLA path only for now
         spmd=(None, None),
     ) -> None:
-        if not mesh.uniform:
-            raise NotImplementedError(
-                "the CG2/dG1 solver currently requires a uniform mesh; "
-                "use the CG1 solver (Nextsim::MEVPDynamics) on graded meshes"
-            )
         self.mesh = mesh
         self.params = params
         self.spmd = tuple(spmd)
@@ -211,25 +212,36 @@ class MEVPSolverHO:
             planes[plane] = arr if planes[plane] is None else planes[plane] + arr
         return HOField(**planes)
 
+    def _dx_dy(self, dtype):
+        """Per-element (or scalar) metric widths as weak/dtype-safe values."""
+        from .mevp import _metric
+
+        return _metric(self.mesh.dx, dtype), _metric(self.mesh.dy, dtype)
+
     # -- strain: CG2 velocity -> dG1 coefficients ----------------------------
     def strain_rates(self, u: HOField, v: HOField):
-        """(e11, e22, e12) as (3, nx, ny) dG1 coefficient arrays."""
+        """(e11, e22, e12) as (3, nx, ny) dG1 coefficient arrays.
+
+        Graded/spherical meshes: the per-element widths broadcast over the
+        leading dG1-dof axis (piecewise-constant metric per element)."""
         t = self.tables
+        dx, dy = self._dx_dy(u.v.dtype)
         u_loc = self.gather_local(u)
         v_loc = self.gather_local(v)
-        du_dx = apply_table(t.grad_x_to_dg1.T, u_loc) / self.mesh.dx
-        du_dy = apply_table(t.grad_y_to_dg1.T, u_loc) / self.mesh.dy
-        dv_dx = apply_table(t.grad_x_to_dg1.T, v_loc) / self.mesh.dx
-        dv_dy = apply_table(t.grad_y_to_dg1.T, v_loc) / self.mesh.dy
+        du_dx = apply_table(t.grad_x_to_dg1.T, u_loc) / dx
+        du_dy = apply_table(t.grad_y_to_dg1.T, u_loc) / dy
+        dv_dx = apply_table(t.grad_x_to_dg1.T, v_loc) / dx
+        dv_dy = apply_table(t.grad_y_to_dg1.T, v_loc) / dy
         return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
 
     # -- weak-form stress divergence -> CG2 nodal forces ---------------------
     def stress_divergence(self, s11, s22, s12):
         """Nodal forces (per unit area): F_n = -int sigma : grad(phi_n) / W_n
         is NOT applied here — returns the raw integrals (Fu, Fv) as HOFields
-        (units: stress x length)."""
+        (units: stress x length). Metric weighting happens per element
+        BEFORE the scatter, so graded meshes assemble consistently."""
         t = self.tables
-        dx, dy = self.mesh.dx, self.mesh.dy
+        dx, dy = self._dx_dy(s11.dtype)
         # int_E sigma_c phi_c dN_n/dx dA = dy * div_x[c, n] (reference-integral
         # times the metric); forces get a minus sign (integration by parts).
         fu_loc = -(
@@ -240,23 +252,25 @@ class MEVPSolverHO:
         )
         return self.scatter_local(fu_loc), self.scatter_local(fv_loc)
 
-    def node_weights(self) -> HOField:
+    def node_weights(self, dtype=jnp.float64) -> HOField:
         """W_n = int phi_n dA accumulated per owned node (area weights)."""
-        area = self.mesh.dx * self.mesh.dy
-        ones = jnp.ones((self.mesh.nx, self.mesh.ny))
+        area = jnp.broadcast_to(
+            jnp.asarray(self.mesh.cell_area, dtype=dtype),
+            (self.mesh.nx, self.mesh.ny),
+        )
         contribs = jnp.stack(
-            [float(self.tables.lumped_mass[n]) * area * ones for n in range(9)]
+            [float(self.tables.lumped_mass[n]) * area for n in range(9)]
         )
         return self.scatter_local(contribs)
 
     def node_thickness(self, h) -> HOField:
         """Lumped-mass-weighted ice thickness at nodes: sum(h W)/sum(W)."""
-        area = self.mesh.dx * self.mesh.dy
+        area = jnp.asarray(self.mesh.cell_area, dtype=h.dtype)
         contribs = jnp.stack(
             [float(self.tables.lumped_mass[n]) * area * h for n in range(9)]
         )
         num = self.scatter_local(contribs)
-        den = self.node_weights()
+        den = self.node_weights(dtype=h.dtype)
         return HOField(
             v=num.v / den.v, b=num.b / den.b, l=num.l / den.l, c=num.c / den.c
         )
@@ -297,7 +311,7 @@ class MEVPSolverHO:
         strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
 
         h_node = self.node_thickness(h)
-        weights = self.node_weights()
+        weights = self.node_weights(dtype=dtype)
         inv_weights = HOField(
             **{k: 1.0 / getattr(weights, k) for k in PLANES}
         )

@@ -119,3 +119,67 @@ def test_ho_box_stable_and_consistent_with_cg1():
     assert diff < 0.25 * scale, (diff, scale)
     # Stress means are compressive at the downwind wall, like CG1.
     assert np.mean(np.asarray(state_ho.s11[0])[-3:, 4:-4]) < 0.0
+
+
+def test_ho_strain_exact_on_graded_mesh():
+    """Per-element metric: strain of a linear velocity is exact on a
+    tensor-graded mesh."""
+    dx = 1.0 + 0.2 * np.arange(8)
+    dy = 2.0 - 0.1 * np.arange(8)
+    mesh = RectMesh(nx=8, ny=8, dx=dx, dy=dy)
+    solver = MEVPSolverHO(mesh)
+    u = HOField.from_function(mesh, lambda x, y: 2.0 * x + 0.3 * y)
+    v = HOField.from_function(mesh, lambda x, y: -0.5 * x + 0.7 * y)
+    e11, e22, e12 = solver.strain_rates(u, v)
+    sl = (slice(None, -1), slice(None, -1))
+    np.testing.assert_allclose(np.asarray(e11[0])[sl], 2.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(e22[0])[sl], 0.7, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(e12[0])[sl], -0.1, rtol=1e-12)
+
+
+def test_ho_stress_divergence_exact_on_graded_mesh():
+    """F/W equals div(sigma) for linear stress on a graded mesh."""
+    dx = 1.0 + 0.15 * np.arange(10)
+    mesh = RectMesh(nx=10, ny=10, dx=dx, dy=1.7)
+    solver = MEVPSolverHO(mesh)
+    xc, _ = mesh.element_centers()
+    k = jnp.zeros((3, mesh.nx, mesh.ny))
+    # sigma11 = x: per-element dG1 x-slope is the ELEMENT'S own width.
+    s11 = k.at[0].set(jnp.asarray(xc)).at[1].set(jnp.asarray(mesh.dx_array[:, None]))
+    zero = k
+    fu, fv = solver.stress_divergence(s11, zero, zero)
+    weights = solver.node_weights()
+    for plane in ("v", "b", "l", "c"):
+        f = np.asarray(getattr(fu, plane)) / np.asarray(getattr(weights, plane))
+        np.testing.assert_allclose(f[2:-2, 2:-2], 1.0, rtol=1e-10, err_msg=plane)
+
+
+def test_ho_coupled_runs_on_spherical_mesh():
+    from nextsimdg_tpu.dynamics.mesh import SphericalMesh
+    from nextsimdg_tpu.modules import ModuleRegistry
+    import jax
+
+    ModuleRegistry.get_loader().set_implementation(
+        "Nextsim::IDynamics", "Nextsim::MEVPHighOrder"
+    )
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.state import Forcing
+
+    mesh = SphericalMesh(12, 12, lon0=0.0, lon1=10.0, lat0=70.0, lat1=78.0)
+    model = CoupledModel(mesh, degree=1, n_subcycles=10)
+    assert isinstance(model.mevp, MEVPSolverHO)
+    state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=jnp.float32)
+    full = lambda v: jnp.full((12, 12), v, jnp.float32)
+    pf = Forcing(
+        tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
+        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0),
+    )
+    df = DynamicsForcing(
+        u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    for _ in range(2):
+        state = model.step(state, pf, df, dt=600.0)
+    for leaf in jax.tree.leaves(state):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert state.hice.dtype == jnp.float32  # no silent f64 promotion
+    assert float(jnp.max(jnp.abs(state.velocity.u.v))) > 0.0
