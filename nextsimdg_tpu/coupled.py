@@ -68,13 +68,16 @@ class CoupledModel:
         physics: NextsimPhysics = None,
         spmd=(None, None),
         ocean_mask=None,
+        mevp_backend: str = "auto",
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
         shard_map on LOCAL blocks (see parallel.shardmap); default is the
         single-program form, which GSPMD can also auto-shard.
         ``ocean_mask``: optional (nx, ny) element mask (1=ocean, 0=land) for
         pan-Arctic-style domains — coastline faces become impermeable and
-        coastal nodes no-slip."""
+        coastal nodes no-slip. ``mevp_backend``: momentum-solver backend
+        ('auto', 'xla', 'pallas', 'pallas-tiled', or — under shard_map —
+        'blocked' for ghost-zone halo exchange)."""
         self.mesh = mesh
         self.spmd = tuple(spmd)
         self.ocean_mask = None if ocean_mask is None else jnp.asarray(ocean_mask)
@@ -86,7 +89,9 @@ class CoupledModel:
         solver_cls = ModuleRegistry.get_loader().get_implementation(
             "Nextsim::IDynamics"
         )
-        self.mevp = solver_cls(mesh, mevp_params, spmd=self.spmd)
+        self.mevp = solver_cls(
+            mesh, mevp_params, backend=mevp_backend, spmd=self.spmd
+        )
         self.n_subcycles = n_subcycles
         if physics is None:
             physics = NextsimPhysics()  # default modules, default parameters

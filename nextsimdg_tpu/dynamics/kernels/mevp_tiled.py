@@ -1,23 +1,34 @@
 """Temporally-blocked tiled Pallas kernel for large-grid mEVP.
 
 For grids too big for the single-block VMEM-resident kernel, the XLA path
-re-streams ~14 arrays from HBM every subcycle (bandwidth-bound at ~25% of
-speed-of-light on 1M elements). This kernel applies stencil temporal
-blocking ("ghost zone" batching):
+re-streams ~14 arrays from HBM every subcycle (bandwidth-bound, and XLA's
+effective bandwidth degrades with working-set size: ~520 GB/s at 1024^2
+but <200 GB/s at 4096^2 — docs/performance.md). This kernel applies
+stencil temporal blocking ("ghost zone" batching):
 
-* the global state is zero-padded by the halo width H (zero halos ARE the
-  closed-boundary condition: shifts fill zeros at walls);
-* each (T, T) tile DMAs its (T+2H, T+2H) block of all fields into VMEM,
-  runs H subcycles entirely on-chip — each subcycle invalidates one ring,
-  so after H subcycles the interior T x T is exact — and writes back only
-  the interior;
-* a Python loop over ceil(n_subcycles / H) rounds re-pads between rounds.
+* the state lives PADDED by the halo widths (Hx, Hy) for the whole
+  subcycle loop (one pad on entry, one slice on exit); zero halos ARE the
+  closed-boundary condition (shifts fill zeros at walls);
+* each (T, T) tile DMAs its (T+2Hx, T+2Hy) block of all 12 fields into
+  VMEM, runs min(Hx, Hy) subcycles entirely on-chip — each subcycle
+  invalidates one ring, so the interior T x T stays exact — and DMAs back
+  only the interior;
+* tiles on the global edge zero the out-of-domain strips of their state
+  blocks in VMEM (the padded ring of a fresh output buffer is
+  uninitialized, so its contents must never be read);
+* a Python loop over ceil(n_subcycles / min(Hx,Hy)) rounds chains calls.
 
 HBM traffic drops from O(n_subcycles) to O(n_subcycles / H) full-state
-passes at the cost of ((T+2H)/T)^2 redundant compute. The numerical body is
-the shared ``MEVPSolver.subcycle_body`` (bit-consistent with the XLA path).
-Closed boundaries only (periodic wrap-halos are a follow-up; the XLA path
-handles periodic meshes).
+passes at the cost of ((T+2Hx)(T+2Hy))/T^2 redundant compute. The
+numerical body is the shared ``MEVPSolver.subcycle_body`` (bit-consistent
+with the XLA path). Closed boundaries only (periodic wrap-halos are a
+follow-up; the XLA path handles periodic meshes).
+
+Buffer-placement note: the 5 state planes travel as ONE stacked
+(5, pad_x, pad_y) array. With separate per-plane outputs, XLA's memory
+-space assignment opportunistically promotes custom-call outputs that fit
+into scoped VMEM (observed as S(1) layouts + scoped-vmem OOM at 1024^2+);
+the stacked buffer exceeds VMEM at any production size, forcing HBM.
 """
 
 from __future__ import annotations
@@ -27,14 +38,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Default tile and halos (min halo = subcycles per round). Mosaic DMA
-#: slices must be lane-aligned (multiples of 128) and sublane-aligned
-#: (multiples of 8): T=256 with halos (32 sublane, 64 lane) -> 320x384
-#: blocks, 12 fields * 320*384 * 4 B = 5.9 MB of VMEM, 32 subcycles per
-#: HBM pass, 1.88x redundant compute at tile edges.
-DEFAULT_TILE = 256
-DEFAULT_HALO_X = 32
-DEFAULT_HALO_Y = 64
+#: Default tiles and halos (min halo = subcycles per round). Mosaic DMA
+#: constraints: slice SHAPES and lane OFFSETS must be multiples of 128 in
+#: the lane dim (dim 1) and of 8 in the sublane dim, so the lane halo is
+#: 128 (the interior write lands at lane offset halo_y + tj*tile_y).
+#: Budget: scratch = 12 blocks + the Mosaic stack for the loop body's
+#: live temporaries (~24 block-sized buffers) must stay under the 16 MB
+#: scoped-vmem limit. Measured v5e sweep (docs/performance.md): (128, 512)
+#: tiles with (8, 128) halos -> 144x768 blocks (432 KB), 1.69x redundant
+#: compute, 8 subcycles per HBM pass: 46.7 ms at 2048^2 (XLA: 70.9) and
+#: 195 ms at 4096^2 (XLA: 598).
+DEFAULT_TILE_X = 128
+DEFAULT_TILE_Y = 512
+DEFAULT_HALO_X = 8
+DEFAULT_HALO_Y = 128
 
 _STATE_NAMES = ("u", "v", "s11", "s22", "s12")
 _CONST_NAMES = (
@@ -42,12 +59,10 @@ _CONST_NAMES = (
 )
 
 
-def tiled_supported(nx: int, ny: int, tile: int = DEFAULT_TILE) -> bool:
-    return nx % tile == 0 and ny % tile == 0 and nx >= tile and ny >= tile
-
-
-def _pad(arr, halo: int, value: float):
-    return jnp.pad(arr, halo, constant_values=value)
+def tiled_supported(
+    nx: int, ny: int, tile_x: int = DEFAULT_TILE_X, tile_y: int = DEFAULT_TILE_Y
+) -> bool:
+    return nx % tile_x == 0 and ny % tile_y == 0 and nx >= tile_x and ny >= tile_y
 
 
 def mevp_subcycles_tiled(
@@ -56,98 +71,133 @@ def mevp_subcycles_tiled(
     consts: dict,  # the per-step constant fields
     dt: float,
     n_subcycles: int,
-    tile: int = DEFAULT_TILE,
+    tile: int = None,
     halo: int = None,
+    tile_x: int = DEFAULT_TILE_X,
+    tile_y: int = DEFAULT_TILE_Y,
     halo_x: int = DEFAULT_HALO_X,
     halo_y: int = DEFAULT_HALO_Y,
     interpret: bool = False,
 ):
     """Run n_subcycles via temporally-blocked tiles; returns the 5 states."""
+    if tile is not None:
+        tile_x = tile_y = tile
     if halo is not None:
         halo_x = halo_y = halo
     u, v, s11, s22, s12 = state_arrays
     nx, ny = u.shape
     dtype = u.dtype
-    n_ti, n_tj = nx // tile, ny // tile
-    block_x = tile + 2 * halo_x
-    block_y = tile + 2 * halo_y
+    n_ti, n_tj = nx // tile_x, ny // tile_y
+    block_x = tile_x + 2 * halo_x
+    block_y = tile_y + 2 * halo_y
     sub_per_round = min(halo_x, halo_y)
+    pad_x, pad_y = nx + 2 * halo_x, ny + 2 * halo_y
+    n_consts = len(_CONST_NAMES)
+    n_fields = n_consts + 5
 
-    # Pad the per-step constants once; zeros everywhere (= closed walls;
-    # active=0 pins halo-exterior nodes, and no divisor fields remain since
-    # dt/m is precomputed).
+    # Pad once: zeros everywhere (= closed walls; active=0 pins
+    # halo-exterior nodes, and no divisor fields remain since dt/m is
+    # precomputed). Consts are never overwritten, so their zero rings
+    # survive all rounds; state rings are re-zeroed in VMEM per tile.
     pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (halo_y, halo_y)))
-    consts_padded = [pad2(consts[name]) for name in _CONST_NAMES]
-
-    n_inputs = len(_CONST_NAMES) + len(_STATE_NAMES)
+    consts_stack = jnp.stack([pad2(consts[name]) for name in _CONST_NAMES])
 
     def round_kernel(n_sub):
-        def kernel(*refs):
-            in_refs = refs[:n_inputs]
-            out_refs = refs[n_inputs : n_inputs + 5]
-            scratch = refs[n_inputs + 5 : n_inputs + 5 + n_inputs]
-            sems = refs[n_inputs + 5 + n_inputs]
+        def kernel(consts_ref, states_ref, out_ref, *rest):
+            scratch = rest[:n_fields]
+            sems = rest[n_fields]
 
             ti = pl.program_id(0)
             tj = pl.program_id(1)
-            row0 = ti * tile
-            col0 = tj * tile
+            row0 = ti * tile_x  # block origin in the PADDED array
+            col0 = tj * tile_y
+            window = (pl.ds(row0, block_x), pl.ds(col0, block_y))
 
             # Halo'd block loads: overlapping reads need manual DMA.
             copies = []
-            for idx, (ref, dst) in enumerate(zip(in_refs, scratch)):
-                dma = pltpu.make_async_copy(
-                    ref.at[pl.ds(row0, block_x), pl.ds(col0, block_y)],
-                    dst,
-                    sems.at[idx],
+            for idx in range(n_fields):
+                src = (
+                    consts_ref.at[(idx,) + window]
+                    if idx < n_consts
+                    else states_ref.at[(idx - n_consts,) + window]
                 )
+                dma = pltpu.make_async_copy(src, scratch[idx], sems.at[idx])
                 dma.start()
                 copies.append(dma)
             for dma in copies:
                 dma.wait()
 
+            # Global-edge tiles: the state rings outside the domain came
+            # from an uninitialized output buffer of the previous round —
+            # zero them in VMEM (this IS the closed boundary condition).
+            zero_strips = (
+                (ti == 0, (pl.ds(0, halo_x), slice(None))),
+                (ti == n_ti - 1, (pl.ds(halo_x + tile_x, halo_x), slice(None))),
+                (tj == 0, (slice(None), pl.ds(0, halo_y))),
+                (tj == n_tj - 1, (slice(None), pl.ds(halo_y + tile_y, halo_y))),
+            )
+            for k in range(5):
+                dst = scratch[n_consts + k]
+                for cond, idx in zero_strips:
+                    @pl.when(cond)
+                    def _zero(dst=dst, idx=idx):
+                        dst[idx] = jnp.zeros_like(dst[idx])
+
             kconsts = {
                 name: scratch[idx][:]
                 for idx, name in enumerate(_CONST_NAMES)
             }
-            base = len(_CONST_NAMES)
-            carry0 = tuple(scratch[base + k][:] for k in range(5))
+            carry0 = tuple(scratch[n_consts + k][:] for k in range(5))
 
             def body(_, carry):
                 return solver.subcycle_body(carry, kconsts, dt)
 
             final = jax.lax.fori_loop(0, n_sub, body, carry0)
-            for ref, value in zip(out_refs, final):
-                ref[:] = value[halo_x : halo_x + tile, halo_y : halo_y + tile]
+
+            # Stage the final state back into the scratch blocks, then DMA
+            # the interiors into the padded output buffer.
+            out_copies = []
+            for k in range(5):
+                src = scratch[n_consts + k]
+                src[:] = final[k]
+                dma = pltpu.make_async_copy(
+                    src.at[pl.ds(halo_x, tile_x), pl.ds(halo_y, tile_y)],
+                    out_ref.at[
+                        k,
+                        pl.ds(halo_x + row0, tile_x),
+                        pl.ds(halo_y + col0, tile_y),
+                    ],
+                    sems.at[n_consts + k],
+                )
+                dma.start()
+                out_copies.append(dma)
+            for dma in out_copies:
+                dma.wait()
 
         return kernel
 
-    out_shapes = [jax.ShapeDtypeStruct((nx, ny), dtype) for _ in range(5)]
-    out_specs = [
-        pl.BlockSpec(
-            (tile, tile), lambda ti, tj: (ti, tj), memory_space=pltpu.VMEM
-        )
-        for _ in range(5)
-    ]
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_inputs
-    scratch_shapes = [pltpu.VMEM((block_x, block_y), dtype) for _ in range(n_inputs)] + [
-        pltpu.SemaphoreType.DMA((n_inputs,)),
+    out_shape = jax.ShapeDtypeStruct((5, pad_x, pad_y), dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch_shapes = [pltpu.VMEM((block_x, block_y), dtype) for _ in range(n_fields)] + [
+        pltpu.SemaphoreType.DMA((n_fields,)),
     ]
 
-    states = (u, v, s11, s22, s12)
+    states = jnp.stack([pad2(s) for s in (u, v, s11, s22, s12)])
     remaining = n_subcycles
     while remaining > 0:
         n_sub = min(sub_per_round, remaining)
         remaining -= n_sub
-        padded_states = [pad2(s) for s in states]
         states = pl.pallas_call(
             round_kernel(n_sub),
             grid=(n_ti, n_tj),
-            out_shape=out_shapes,
-            in_specs=in_specs,
-            out_specs=out_specs,
+            out_shape=out_shape,
+            in_specs=[any_spec, any_spec],
+            out_specs=any_spec,
             scratch_shapes=scratch_shapes,
+            # NO input/output aliasing: tiles run sequentially and later
+            # tiles read halo strips from their neighbors' PRE-round
+            # interiors — in-place writes would corrupt those reads.
             interpret=interpret,
-        )(*consts_padded, *padded_states)
-        states = tuple(states)
-    return states
+        )(consts_stack, states)
+    interior = (slice(halo_x, halo_x + nx), slice(halo_y, halo_y + ny))
+    return tuple(states[(k,) + interior] for k in range(5))

@@ -130,21 +130,33 @@ class MEVPSolver:
         params: MEVPParams = MEVPParams(),
         backend: str = "auto",
         spmd=(None, None),
+        block_halo: int = 16,
     ) -> None:
         """``backend``: 'auto' (fused Pallas kernel on TPU when the grid fits
         VMEM, else XLA), 'xla', 'pallas', or 'pallas-interpret' (testing).
-        ``spmd``: mesh axis names when running inside shard_map (halo
-        exchange per subcycle via ppermute); forces the XLA path."""
+        ``spmd``: mesh axis names when running inside shard_map. The default
+        under shard_map exchanges width-1 halos via ppermute EVERY subcycle;
+        ``backend='blocked'`` instead widens the local block by
+        ``block_halo`` ghost cells once per ``block_halo`` subcycles (one
+        ppermute pair per axis per round) — ~8x block_halo fewer messages
+        at ((n+2H)/n)^2 redundant compute, the right trade when halo
+        latency dominates (multi-host DCN, many small subdomains)."""
         self.mesh = mesh
         self.params = params
         self.backend = backend
         self.spmd = tuple(spmd)
+        self.block_halo = int(block_halo)
 
     def _kernel_choice(self) -> str:
-        """'single' (VMEM-resident fused), 'tiled' (temporal blocking) or 'xla'."""
+        """'single' (fused), 'tiled', 'blocked' (shard_map ghost zones) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
-            # Cross-device halos inside a fused kernel need remote DMA;
-            # under shard_map use the XLA path (ppermute halos per subcycle).
+            if self.backend == "blocked":
+                if not self.mesh.uniform:
+                    raise NotImplementedError(
+                        "blocked halo exchange requires a uniform local mesh"
+                    )
+                return "blocked"
+            # Per-subcycle width-1 ppermute halos on the XLA path.
             return "xla"
         if not self.mesh.uniform:
             # Graded meshes carry per-element metric arrays; XLA path only.
@@ -163,9 +175,20 @@ class MEVPSolver:
             return "xla"
         if pallas_supported(self.mesh.nx, self.mesh.ny):
             return "single"
-        # Large grids: the XLA loop is already near HBM bandwidth and the
-        # temporally-blocked kernel's halo recompute makes it slower on v5e
-        # (see docs/performance.md), so 'tiled' stays opt-in.
+        from .kernels.mevp_tiled import tiled_supported
+
+        # Mid-size grids (~1M elements): XLA still streams at ~520 GB/s and
+        # beats the tiled kernel's redundant halo compute. Beyond ~3M
+        # elements XLA's effective bandwidth collapses (fusion splits /
+        # buffer pressure) and temporal blocking wins: 1.5x at 2048^2,
+        # 3.1x at 4096^2 on v5e (docs/performance.md).
+        if (
+            self.mesh.n_elements >= 3_000_000
+            and not self.mesh.periodic_x
+            and not self.mesh.periodic_y
+            and tiled_supported(self.mesh.nx, self.mesh.ny)
+        ):
+            return "tiled"
         return "xla"
 
     # -- per-element strain rates from CG1 velocity --------------------------
@@ -325,6 +348,10 @@ class MEVPSolver:
             u, v, s11, s22, s12 = mevp_subcycles_tiled(
                 self, carry0, consts, dt, n_subcycles, **kwargs
             )
+        elif choice == "blocked":
+            u, v, s11, s22, s12 = self._blocked_subcycles(
+                carry0, consts, dt, n_subcycles
+            )
         else:
             def subcycle(_, carry):
                 return self.subcycle_body(carry, consts, dt)
@@ -333,6 +360,55 @@ class MEVPSolver:
                 0, n_subcycles, subcycle, carry0
             )
         return VelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)
+
+    def _blocked_subcycles(self, carry0, consts, dt, n_subcycles):
+        """Ghost-zone ("temporally blocked") halo exchange under shard_map.
+
+        Widen every plane by H ghost cells from the neighbor devices (ONE
+        ppermute pair per axis), run H subcycles on the widened local block
+        with plain closed-boundary shifts (the exchange already supplied
+        neighbor data; global walls arrive as zero strips), keep the
+        interior, repeat. Each subcycle invalidates one ghost ring, so the
+        interior stays EXACTLY equal to the per-subcycle-exchange result.
+        """
+        from .stencil import halo_widen
+
+        h = self.block_halo
+        nx, ny = self.mesh.nx, self.mesh.ny
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ax_x, ax_y = self.spmd
+
+        def widen(f):
+            f = halo_widen(f, h, 0, px, ax_x)
+            return halo_widen(f, h, 1, py, ax_y)
+
+        # A local solver on the widened block: closed shifts, no spmd.
+        local = MEVPSolver(
+            RectMesh(
+                nx=nx + 2 * h, ny=ny + 2 * h,
+                dx=self.mesh.dx, dy=self.mesh.dy,
+            ),
+            self.params,
+            backend="xla",
+        )
+        consts_w = {name: widen(value) for name, value in consts.items()}
+
+        def round_body(carry, n_sub):
+            padded = tuple(widen(f) for f in carry)
+
+            def sub(_, c):
+                return local.subcycle_body(c, consts_w, dt)
+
+            padded = jax.lax.fori_loop(0, n_sub, sub, padded)
+            return tuple(p[h : h + nx, h : h + ny] for p in padded)
+
+        carry = carry0
+        remaining = n_subcycles
+        while remaining > 0:
+            n_sub = min(h, remaining)
+            remaining -= n_sub
+            carry = round_body(carry, n_sub)
+        return carry
 
     def subcycle_body(self, carry, consts, dt):
         """One mEVP subcycle — shared by the XLA path and the Pallas kernels.

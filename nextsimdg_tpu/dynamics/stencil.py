@@ -75,6 +75,39 @@ def shift_m(f, axis: int, periodic: bool, axis_name: str = None):
     return lax.concatenate([recv, moved], dimension=axis)
 
 
+def halo_widen(f, h: int, axis: int, periodic: bool, axis_name: str = None):
+    """Extend ``f`` by h-wide neighbor strips on BOTH sides along ``axis``.
+
+    Inside shard_map this is ONE ppermute pair per axis instead of one per
+    subcycle — the temporally-blocked ("ghost zone") halo exchange: with
+    h-wide halos the mEVP stencil can run h subcycles locally before the
+    invalidation ring reaches the interior. Outside shard_map (or at
+    closed global edges) the strips are zeros = the wall condition;
+    periodic axes wrap.
+
+    Corners: widen axis 0 first, then axis 1 on the result — the second
+    exchange carries the first's strips, filling corners exactly.
+    """
+    lo_strip = lax.slice_in_dim(f, 0, h, axis=axis)
+    hi_strip = lax.slice_in_dim(f, f.shape[axis] - h, f.shape[axis], axis=axis)
+    if axis_name is None:
+        if periodic:
+            lo, hi = hi_strip, lo_strip
+        else:
+            lo, hi = jnp.zeros_like(hi_strip), jnp.zeros_like(lo_strip)
+    else:
+        # My leading strip goes to my -1 neighbor == I receive my +1
+        # neighbor's leading strip on my right, and vice versa.
+        hi = lax.ppermute(lo_strip, axis_name, perm=_ring_perm(axis_name, -1))
+        lo = lax.ppermute(hi_strip, axis_name, perm=_ring_perm(axis_name, +1))
+        if not periodic:
+            is_last = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
+            hi = jnp.where(is_last, jnp.zeros_like(hi), hi)
+            is_first = lax.axis_index(axis_name) == 0
+            lo = jnp.where(is_first, jnp.zeros_like(lo), lo)
+    return lax.concatenate([lo, f, hi], dimension=axis)
+
+
 def is_global_edge(axis_name: str, side: str):
     """Whether this shard owns the global first/last block along the axis.
 

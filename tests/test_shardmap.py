@@ -73,3 +73,60 @@ def test_shardmap_rejects_indivisible_grid():
     device_mesh = make_spatial_mesh((4, 2))
     with pytest.raises(ValueError):
         build_sharded_coupled_model(mesh, device_mesh)
+
+
+def test_blocked_halo_exchange_matches_per_subcycle():
+    """backend='blocked' (H-wide ghost zones, one ppermute pair per H
+    subcycles) must reproduce the per-subcycle-halo result exactly."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from nextsimdg_tpu.dynamics.mevp import MEVPSolver, MEVPParams, VelocityState
+
+    n = 32
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    # Reference: single-device XLA run on the global mesh.
+    ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    px, py = device_mesh.devices.shape
+    local = RectMesh(nx=n // px, ny=n // py, dx=mesh.dx, dy=mesh.dy)
+    spec = P("X", "Y")
+
+    for backend, halo in (("xla", None), ("blocked", 4), ("blocked", 7)):
+        kwargs = {} if halo is None else {"block_halo": halo}
+        solver = MEVPSolver(
+            local, MEVPParams(), backend=backend, spmd=("X", "Y"), **kwargs
+        )
+
+        def step_local(s, hh, aa, d):
+            mask = solver.boundary_mask(dtype)
+            return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+        got = jax.jit(
+            jax.shard_map(
+                step_local,
+                mesh=device_mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: spec, state),
+                    spec, spec, jax.tree.map(lambda _: spec, df),
+                ),
+                out_specs=jax.tree.map(lambda _: spec, state),
+                check_vma=False,
+            )
+        )(state, h, a, df)
+        for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13,
+                err_msg=f"{backend} halo={halo}",
+            )
