@@ -45,13 +45,17 @@ def main() -> None:
     state = model.initial_state(
         hice0=1.0, cice0=0.9, hsnow0=0.05, sst0=-1.6, sss0=32.0, dtype=dtype
     )
+    # Wind 5 m/s: the wind-driven pileup at the closed wall stays inside
+    # the dG1/RK2 advective CFL for the whole chunk (u_max ~1.5 m/s,
+    # u dt/dx ~0.45); at 8 m/s the state exceeds it and blows up by step
+    # ~800, so every timed run also restarts from the initial state.
     full = lambda v: jnp.full((n, n), v, dtype=dtype)
     phys_forcing = Forcing(
         tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
-        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0),
+        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(5.0),
     )
     dyn_forcing = DynamicsForcing(
-        u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02), v_ocean=full(0.0)
+        u_atm=full(5.0), v_atm=full(1.25), u_ocean=full(0.02), v_ocean=full(0.0)
     )
 
     # Dynamics-only (BASELINE config 3: thermodynamics off) via lax.scan.
@@ -60,18 +64,29 @@ def main() -> None:
     # the axon tunnel) pollutes the measurement.
     chunk = 1024
 
-    def run(state):
+    def run(s):
         return model.run(
-            state, phys_forcing, dyn_forcing, dt, chunk, do_thermo=False
+            s, phys_forcing, dyn_forcing, dt, chunk, do_thermo=False
         )
 
-    state = jax.block_until_ready(run(state))  # compile + warmup
+    def run_synced(s):
+        """Run + HARD sync: through the axon tunnel, block_until_ready can
+        return while work is still queued (observed: 0.2 ms "runs" after a
+        warmup that was never fetched) — fetching a scalar forces real
+        completion of everything that produced it."""
+        out = run(s)
+        probe = float(out.hice[0, 0, 0])
+        return out, probe
+
+    _, probe = run_synced(state)  # compile + warmup
 
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        state = jax.block_until_ready(run(state))
+        _, probe = run_synced(state)
         best = min(best, time.perf_counter() - t0)
+    if not np.isfinite(probe):
+        raise RuntimeError("benchmark state went non-finite")
 
     elements_per_s = n * n * chunk / best
     print(

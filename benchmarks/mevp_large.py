@@ -42,11 +42,18 @@ def bench(n, backend, n_sub=100, outer=None, reps=3, **tiled_kwargs):
         out, _ = jax.lax.scan(body, st, None, length=outer)
         return out
 
-    st = jax.block_until_ready(run(state))
+    def run_synced(s):
+        # block_until_ready through the axon tunnel can return while work
+        # is still queued; fetching one scalar forces real completion.
+        out = run(s)
+        float(out.u[0, 0])
+        return out
+
+    st = run_synced(state)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        st = jax.block_until_ready(run(st))
+        st = run_synced(st)
         best = min(best, (time.perf_counter() - t0) / outer)
     print(
         f"n={n} backend={backend}: {best*1e3:.1f} ms / {n_sub} subcycles "

@@ -23,11 +23,19 @@ import numpy as np
 def _timed_chunk(run, state, chunk):
     import jax
 
-    state = jax.block_until_ready(run(state))  # compile + warmup
+    def run_synced(s):
+        """block_until_ready through the axon tunnel can return while work
+        is still queued; fetching one scalar forces real completion."""
+        out = run(s)
+        leaf = jax.tree.leaves(out)[0]
+        float(jax.numpy.ravel(leaf)[0])
+        return out
+
+    state = run_synced(state)  # compile + warmup
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state = jax.block_until_ready(run(state))
+        state = run_synced(state)
         best = min(best, time.perf_counter() - t0)
     return best
 

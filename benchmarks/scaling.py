@@ -49,11 +49,19 @@ def run_once(devices, local_n: int, chunk: int = 32) -> float:
     state, pf, df = part.shard(state), part.shard(pf), part.shard(df)
 
     run = lambda s: model.run(s, pf, df, 600.0, chunk, do_thermo=False)
-    state = jax.block_until_ready(run(state))
+
+    def run_synced(s):
+        # block_until_ready through the axon tunnel can return while work
+        # is still queued; fetching one scalar forces real completion.
+        out = run(s)
+        float(out.hice[0, 0, 0])
+        return out
+
+    state = run_synced(state)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state = jax.block_until_ready(run(state))
+        state = run_synced(state)
         best = min(best, time.perf_counter() - t0)
     return nx * ny * chunk / best
 

@@ -165,6 +165,22 @@ class CoupledModel:
             self.mesh.periodic_x, self.mesh.periodic_y, self.spmd,
         )
 
+    def _fused_dynamics_mode(self):
+        """'tpu' / 'interpret' when the fused dynamics kernel applies, else
+        None (falls back to the staged mEVP -> sampling -> transport path)."""
+        from .dynamics.kernels.coupled_pallas import fused_dynamics_supported
+        from .dynamics.mevp import MEVPSolver
+
+        if type(self.mevp) is not MEVPSolver:
+            return None
+        if not fused_dynamics_supported(self):
+            return None
+        if self.mevp.backend == "pallas-interpret":
+            return "interpret"
+        if self.mevp._kernel_choice() == "single":
+            return "tpu"
+        return None
+
     # -- one coupled timestep ------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "dt", "do_dynamics", "do_thermo"))
     def step(
@@ -180,7 +196,34 @@ class CoupledModel:
         velocity = state.velocity
         hice, cice, hsnow = state.hice, state.cice, state.hsnow
 
-        if do_dynamics:
+        if do_dynamics and self._fused_dynamics_mode() is not None:
+            # Fused path: mEVP subcycles + CG sampling + limited DG
+            # transport in ONE Pallas kernel (kernels/coupled_pallas.py).
+            from .dynamics.kernels.coupled_pallas import fused_dynamics_pallas
+
+            mask = self.node_mask(dtype)
+            consts = self.mevp.step_consts(
+                velocity, hice[0], jnp.clip(cice[0], 0.0, 1.0),
+                dyn_forcing, mask, dt,
+            )
+            tracers = jnp.stack([hice, cice, hsnow], axis=1)
+            carry0 = (
+                velocity.u, velocity.v,
+                velocity.s11, velocity.s22, velocity.s12,
+            )
+            final, tracers = fused_dynamics_pallas(
+                self, carry0, tracers, consts, dt, self.n_subcycles,
+                interpret=(self._fused_dynamics_mode() == "interpret"),
+            )
+            velocity = VelocityState(
+                u=final[0], v=final[1],
+                s11=final[2], s22=final[3], s12=final[4],
+            )
+            hice, cice, hsnow = tracers[:, 0], tracers[:, 1], tracers[:, 2]
+            hice = _clamp_dg(hice, 0.0, None)
+            cice = _clamp_dg(cice, 0.0, 1.0)
+            hsnow = _clamp_dg(hsnow, 0.0, None)
+        elif do_dynamics:
             # 1. momentum: mEVP on cell means.
             h_mean = hice[0]
             a_mean = jnp.clip(cice[0], 0.0, 1.0)

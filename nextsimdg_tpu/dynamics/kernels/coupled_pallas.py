@@ -1,0 +1,116 @@
+"""Fully-fused dynamics step: mEVP subcycles + CG sampling + DG transport.
+
+The coupled model's dynamics phase is three chained stages — N mEVP
+subcycles, CG1-velocity sampling at quadrature points, and the (limited)
+SSP-RK DG tracer step. Run separately they cost three kernel dispatches
+and HBM round-trips of the velocity/tracer planes between stages; at the
+256^2 headline size the non-mEVP stages are ~25% of the step. This kernel
+traces ALL of it inside one ``pallas_call``: the final velocity never
+leaves VMEM before the tracers consume it.
+
+Requirements: uniform mesh, closed/periodic handled by the shared jnp
+bodies (wall selects are iota-based, so they lower in Mosaic), no land
+masks, CG1 solver, and the whole working set in VMEM:
+12 mEVP planes + (K x n_tracers) coefficient planes + 12 quad-velocity
+planes + temporaries — ~40 plane-equivalents at dG1 x 3 tracers, fitting
+~256^2 f32 comfortably.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: VMEM budget [bytes] for the fused dynamics step. Measured on v5e at
+#: dG1 x 3 tracers x 100 subcycles: 16.57 MB scoped allocation at 256^2
+#: (~66 f32 plane-equivalents; the mEVP fori-loop stack dominates), just
+#: over the 16 MB scoped-vmem limit — so the fused step applies up to
+#: ~192^2 and the headline 256^2 runs the staged (mEVP kernel + XLA
+#: transport) path.
+_VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
+
+_CONST_NAMES = (
+    "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
+)
+
+
+def fused_dynamics_supported(model, n_tracers: int = 3) -> bool:
+    """Whether the single-block fused dynamics kernel applies."""
+    mesh = model.mesh
+    if not mesh.uniform or model.ocean_mask is not None:
+        return False
+    if any(axis is not None for axis in model.spmd):
+        return False
+    if model.is_high_order:
+        return False
+    from ..freedrift import FreeDriftSolver
+
+    if isinstance(model.mevp, FreeDriftSolver):
+        return False
+    # Calibrated on v5e: 12 mEVP planes + 12 quad-velocity planes + donated
+    # tracer coeffs + ~33 Mosaic stack temporaries ~= 66 plane-equivalents.
+    planes = 12 + 12 + model.transport.basis.n_dofs * n_tracers + 33
+    itemsize = 4
+    return mesh.nx * mesh.ny * itemsize * planes <= _VMEM_BUDGET
+
+
+def fused_dynamics_pallas(
+    model,  # CoupledModel (static: carries solver, transport, mesh)
+    state_arrays,  # (u, v, s11, s22, s12)
+    tracers,  # (K, n_tracers, nx, ny) stacked DG coefficients
+    consts: dict,  # MEVPSolver.step_consts output
+    dt: float,
+    n_subcycles: int,
+    interpret: bool = False,
+):
+    """Returns ((u, v, s11, s22, s12), tracers) after one dynamics phase."""
+    solver = model.mevp
+    transport = model.transport
+    mesh = model.mesh
+    u = state_arrays[0]
+    const_arrays = [consts[name] for name in _CONST_NAMES]
+    n_consts = len(_CONST_NAMES)
+
+    def kernel(*refs):
+        const_refs = refs[:n_consts]
+        state_refs = refs[n_consts : n_consts + 5]
+        tracer_ref = refs[n_consts + 5]
+        out_state = refs[n_consts + 6 : n_consts + 11]
+        out_tracer = refs[n_consts + 11]
+
+        kconsts = {
+            name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)
+        }
+
+        def body(_, carry):
+            return solver.subcycle_body(carry, kconsts, dt)
+
+        final = jax.lax.fori_loop(
+            0, n_subcycles, body, tuple(ref[:] for ref in state_refs)
+        )
+        for ref, value in zip(out_state, final):
+            ref[:] = value
+
+        from ..transport import velocity_from_cg
+
+        qv = velocity_from_cg(mesh, transport.basis, final[0], final[1])
+        out_tracer[:] = transport.step(tracer_ref[:], qv, dt, limit=True)
+
+    out_shapes = [jax.ShapeDtypeStruct(u.shape, u.dtype) for _ in range(5)] + [
+        jax.ShapeDtypeStruct(tracers.shape, tracers.dtype)
+    ]
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[vmem() for _ in range(n_consts + 6)],
+        out_specs=[vmem() for _ in range(6)],
+        # Single-block kernel: donating the state/tracer inputs halves
+        # their VMEM footprint (reads all happen before the writes) — the
+        # saving is what lets 256^2 fit the scoped-vmem budget.
+        input_output_aliases={n_consts + k: k for k in range(6)},
+        interpret=interpret,
+    )(*const_arrays, *state_arrays, tracers)
+    return tuple(outs[:5]), outs[5]

@@ -284,51 +284,7 @@ class MEVPSolver:
         dt: float,
         n_subcycles: int = 100,
     ) -> VelocityState:
-        p = self.params
-        dtype = state.u.dtype
-        e2 = p.ellipse * p.ellipse
-
-        # Element ice strength P = P* h exp(-C (1-A)).
-        strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
-
-        # Lumped nodal ice mass per unit area [kg m-2] (area-weighted over
-        # the adjacent elements — exact for graded meshes), clamped.
-        px, py = self.mesh.periodic_x, self.mesh.periodic_y
-        cell_area = jnp.broadcast_to(
-            jnp.asarray(self.mesh.cell_area, dtype=dtype), h.shape
-        )
-        node_area = cell_to_node(cell_area, px, py, self.spmd)
-        m_node = p.rho_ice * cell_to_node(
-            h * cell_area, px, py, self.spmd
-        ) / node_area
-        ice_node = m_node > p.min_ice_mass
-        m_safe = jnp.maximum(m_node, p.min_ice_mass)
-
-        # Wind stress is constant over the subcycles (atmosphere does not
-        # feel the ice velocity at these scales).
-        tau_au = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.u_atm
-        tau_av = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.v_atm
-
-        active = mask * ice_node.astype(dtype)
-        # Compact per-step constants (7 planes): dt/m and the constant part
-        # of the velocity-update numerator (u_n + dt/m * tau_a) are
-        # precomputed, which both saves VMEM in the fused kernels and
-        # removes work from the subcycle.
-        dt_m = dt / m_safe
-        consts = dict(
-            strength=strength,
-            dt_m=dt_m,
-            active=active,
-            b_u=state.u + dt_m * tau_au,
-            b_v=state.v + dt_m * tau_av,
-            u_ocean=forcing.u_ocean,
-            v_ocean=forcing.v_ocean,
-        )
-        if not self.mesh.uniform:
-            # Per-node quarter-area weights for the force normalization
-            # (the fused kernels only run on uniform meshes).
-            consts["inv_w"] = 1.0 / node_area
-
+        consts = self.step_consts(state, h, a, forcing, mask, dt)
         carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
         choice = self._kernel_choice()
         if choice == "single":
@@ -360,6 +316,55 @@ class MEVPSolver:
                 0, n_subcycles, subcycle, carry0
             )
         return VelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)
+
+    def step_consts(self, state: VelocityState, h, a, forcing, mask, dt: float):
+        """The per-step constant planes shared by every backend.
+
+        7 compact planes: dt/m and the constant part of the velocity-update
+        numerator (u_n + dt/m tau_a) are precomputed, which both saves VMEM
+        in the fused kernels and removes work from the subcycle; graded
+        meshes add per-node inverse weights.
+        """
+        p = self.params
+        dtype = state.u.dtype
+
+        # Element ice strength P = P* h exp(-C (1-A)).
+        strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
+
+        # Lumped nodal ice mass per unit area [kg m-2] (area-weighted over
+        # the adjacent elements — exact for graded meshes), clamped.
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        cell_area = jnp.broadcast_to(
+            jnp.asarray(self.mesh.cell_area, dtype=dtype), h.shape
+        )
+        node_area = cell_to_node(cell_area, px, py, self.spmd)
+        m_node = p.rho_ice * cell_to_node(
+            h * cell_area, px, py, self.spmd
+        ) / node_area
+        ice_node = m_node > p.min_ice_mass
+        m_safe = jnp.maximum(m_node, p.min_ice_mass)
+
+        # Wind stress is constant over the subcycles (atmosphere does not
+        # feel the ice velocity at these scales).
+        tau_au = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.u_atm
+        tau_av = p.rho_atm * p.cd_atm * jnp.hypot(forcing.u_atm, forcing.v_atm) * forcing.v_atm
+
+        active = mask * ice_node.astype(dtype)
+        dt_m = dt / m_safe
+        consts = dict(
+            strength=strength,
+            dt_m=dt_m,
+            active=active,
+            b_u=state.u + dt_m * tau_au,
+            b_v=state.v + dt_m * tau_av,
+            u_ocean=forcing.u_ocean,
+            v_ocean=forcing.v_ocean,
+        )
+        if not self.mesh.uniform:
+            # Per-node quarter-area weights for the force normalization
+            # (the fused kernels only run on uniform meshes).
+            consts["inv_w"] = 1.0 / node_area
+        return consts
 
     def _blocked_subcycles(self, carry0, consts, dt, n_subcycles):
         """Ghost-zone ("temporally blocked") halo exchange under shard_map.

@@ -130,29 +130,32 @@ def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v, spmd=(None, None)) ->
 
     px, py = mesh.periodic_x, mesh.periodic_y
     ax_x, ax_y = spmd
-    dtype = u.dtype
-    xi = jnp.asarray(basis.xq_vol, dtype=dtype)[:, None, None]
-    eta = jnp.asarray(basis.yq_vol, dtype=dtype)[:, None, None]
-    s = jnp.asarray(basis.s_edge, dtype=dtype)
+    # Quadrature coordinates enter as PYTHON floats in statically unrolled
+    # per-point sums (not as jnp constant vectors): scalar-weighted VPU
+    # adds, and the same code traces inside Pallas kernels (which reject
+    # captured array constants).
+    xq = [float(x) for x in np.asarray(basis.xq_vol)]
+    yq = [float(y) for y in np.asarray(basis.yq_vol)]
+    se = [float(s) for s in np.asarray(basis.s_edge)]
 
     def bilinear(f):
-        f00 = f[None]
-        f10 = shift_p(f, 0, px, ax_x)[None]
-        f01 = shift_p(f, 1, py, ax_y)[None]
-        f11 = shift_p(shift_p(f, 0, px, ax_x), 1, py, ax_y)[None]
-        return (
-            f00 * (1 - xi) * (1 - eta)
-            + f10 * xi * (1 - eta)
-            + f01 * (1 - xi) * eta
-            + f11 * xi * eta
-        )
+        f00 = f
+        f10 = shift_p(f, 0, px, ax_x)
+        f01 = shift_p(f, 1, py, ax_y)
+        f11 = shift_p(f10, 1, py, ax_y)
+        return jnp.stack([
+            f00 * ((1 - x) * (1 - y)) + f10 * (x * (1 - y))
+            + f01 * ((1 - x) * y) + f11 * (x * y)
+            for x, y in zip(xq, yq)
+        ])
 
     vx_vol = bilinear(u)
     vy_vol = bilinear(v)
     # Left face of element i: linear in y between nodes (i, j) and (i, j+1).
-    se = s[:, None, None]
-    vn_x = u[None] * (1 - se) + shift_p(u, 1, py, ax_y)[None] * se  # (NE, nx, ny)
-    vn_y = v[None] * (1 - se) + shift_p(v, 0, px, ax_x)[None] * se  # (NE, nx, ny)
+    u_up = shift_p(u, 1, py, ax_y)
+    v_right = shift_p(v, 0, px, ax_x)
+    vn_x = jnp.stack([u * (1 - s) + u_up * s for s in se])  # (NE, nx, ny)
+    vn_y = jnp.stack([v * (1 - s) + v_right * s for s in se])
     return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
 
 
@@ -195,13 +198,6 @@ class DGTransport:
         self._limit_table = np.concatenate(
             [b.psi_vol, b.psi_x0, b.psi_x1, b.psi_y0, b.psi_y1], axis=1
         )
-        # Wall masks for closed boundaries: zero the i=0 / j=0 face flux.
-        wall_x = np.ones((1, mesh.nx, 1))
-        wall_x[0, 0, 0] = 0.0
-        self._wall_x = jnp.asarray(wall_x)
-        wall_y = np.ones((1, 1, mesh.ny))
-        wall_y[0, 0, 0] = 0.0
-        self._wall_y = jnp.asarray(wall_y)
 
     # -- semi-discrete RHS ---------------------------------------------------
     def rhs(self, psi, vel: QuadVelocity, face_masks=None):
@@ -223,13 +219,43 @@ class DGTransport:
         vn_y = vel.vn_y[expand]
         x_axis, y_axis = psi.ndim - 2, psi.ndim - 1
 
-        # Volume term: integrand at quad points, contracted back to dofs.
+        # Volume term, STREAMED over quadrature points: materializing
+        # psi(q)/flux(q) for all NQ points at once costs ~2(NQ x batch)
+        # live planes — the peak VMEM driver when this traces inside the
+        # fused Pallas kernel. Accumulating per point keeps the live set
+        # at ~2K accumulators + 3 temporaries (bit-identical sums: same
+        # ascending-q order, zeros skipped, as the table contraction).
         inv_dx = 1.0 / mesh.dx if mesh.uniform else 1.0 / jnp.asarray(mesh.dx, dtype)
         inv_dy = 1.0 / mesh.dy if mesh.uniform else 1.0 / jnp.asarray(mesh.dy, dtype)
-        psi_q = apply_table(self._psi_vol, psi)
-        gx = apply_table(self._wgx_vol.T, vx_vol * psi_q) * inv_dx
-        gy = apply_table(self._wgy_vol.T, vy_vol * psi_q) * inv_dy
-        volume = gx + gy
+        psi_tab = np.asarray(self._psi_vol)
+        wgx_t = np.asarray(self._wgx_vol.T)  # (NQ, K)
+        wgy_t = np.asarray(self._wgy_vol.T)
+        n_dofs, n_q = psi_tab.shape
+        acc_x = [None] * n_dofs
+        acc_y = [None] * n_dofs
+        for q in range(n_q):
+            pq = None
+            for k in range(n_dofs):
+                c = float(psi_tab[k, q])
+                if c == 0.0:
+                    continue
+                term = psi[k] if c == 1.0 else c * psi[k]
+                pq = term if pq is None else pq + term
+            fx = vx_vol[(q,) + (slice(None),) * extra] * pq
+            fy = vy_vol[(q,) + (slice(None),) * extra] * pq
+            for k in range(n_dofs):
+                cx = float(wgx_t[q, k])
+                if cx != 0.0:
+                    t = fx if cx == 1.0 else cx * fx
+                    acc_x[k] = t if acc_x[k] is None else acc_x[k] + t
+                cy = float(wgy_t[q, k])
+                if cy != 0.0:
+                    t = fy if cy == 1.0 else cy * fy
+                    acc_y[k] = t if acc_y[k] is None else acc_y[k] + t
+        zero = jnp.zeros(psi.shape[1:], dtype)
+        gx = jnp.stack([a if a is not None else zero for a in acc_x])
+        gy = jnp.stack([a if a is not None else zero for a in acc_y])
+        volume = gx * inv_dx + gy * inv_dy
 
         # Upwind edge fluxes, x-direction (owned left-face edges).
         from .stencil import is_global_edge, shift_m, shift_p
@@ -244,11 +270,10 @@ class DGTransport:
         g_x = vn_x * upwinded  # edge weights live in the assembly tables
         if not px:
             # Closed domain: the global i=0 face is an impermeable wall.
-            if ax_x is None:
-                g_x = g_x * self._wall_x.astype(dtype)[expand]
-            else:
-                face0 = jax.lax.broadcasted_iota(jnp.int32, g_x.shape, x_axis) == 0
-                g_x = jnp.where(face0 & is_global_edge(ax_x, "first"), 0.0, g_x)
+            # (iota-based select, not a mask buffer: runs identically in
+            # XLA, under shard_map, and traced inside Pallas kernels.)
+            face0 = jax.lax.broadcasted_iota(jnp.int32, g_x.shape, x_axis) == 0
+            g_x = jnp.where(face0 & is_global_edge(ax_x, "first"), 0.0, g_x)
         # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
         if face_masks is not None:
             g_x = g_x * face_masks[0]
@@ -273,11 +298,8 @@ class DGTransport:
         upwinded_y = jnp.where(vn_y >= 0, below, tr_y0)
         g_y = vn_y * upwinded_y
         if not py:
-            if ax_y is None:
-                g_y = g_y * self._wall_y.astype(dtype)[expand]
-            else:
-                face0 = jax.lax.broadcasted_iota(jnp.int32, g_y.shape, y_axis) == 0
-                g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
+            face0 = jax.lax.broadcasted_iota(jnp.int32, g_y.shape, y_axis) == 0
+            g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
         if face_masks is not None:
             g_y = g_y * face_masks[1]
         if not mesh.uniform:
@@ -311,8 +333,22 @@ class DGTransport:
         if self.basis.n_dofs == 1:
             return psi
         mean = psi[0]
-        values = apply_table(self._limit_table, psi)
-        mins = jnp.min(values, axis=0)
+        # Streamed min over the evaluation points (the full (Q, ...) value
+        # table would be the largest live intermediate in fused kernels).
+        table = np.asarray(self._limit_table)
+        n_dofs, n_pts = table.shape
+        mins = None
+        for q in range(n_pts):
+            value = None
+            for k in range(n_dofs):
+                c = float(table[k, q])
+                if c == 0.0:
+                    continue
+                term = psi[k] if c == 1.0 else c * psi[k]
+                value = term if value is None else value + term
+            if value is None:
+                value = jnp.zeros_like(mean)
+            mins = value if mins is None else jnp.minimum(mins, value)
         deficit = mean - mins  # > 0 when the polynomial dips below the mean
         theta = jnp.where(
             mins < 0.0,

@@ -72,3 +72,44 @@ def test_pallas_interpret_matches_xla_path():
             np.asarray(getattr(out_xla, name)),
             rtol=1e-6, atol=1e-6, err_msg=name,
         )
+
+
+def test_fused_dynamics_interpret_matches_staged_path():
+    """The fully-fused dynamics kernel (mEVP + CG sampling + DG transport
+    in one pallas_call) must reproduce the staged path."""
+    import jax
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import MEVPParams, RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.state import Forcing
+
+    n = 16
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+
+    models = {
+        "staged": CoupledModel(mesh, degree=1, n_subcycles=15),
+        "fused": CoupledModel(
+            mesh, degree=1, n_subcycles=15, mevp_backend="pallas-interpret"
+        ),
+    }
+    assert models["fused"]._fused_dynamics_mode() == "interpret"
+    assert models["staged"]._fused_dynamics_mode() is None
+
+    results = {}
+    for name, model in models.items():
+        state = model.initial_state(hice0=1.2, cice0=0.9, hsnow0=0.1, dtype=dtype)
+        for _ in range(2):
+            state = model.step(state, None, df, dt=600.0, do_thermo=False)
+        results[name] = state
+
+    for a, b in zip(
+        jax.tree.leaves(results["staged"]), jax.tree.leaves(results["fused"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13
+        )
