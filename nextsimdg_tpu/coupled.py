@@ -69,6 +69,7 @@ class CoupledModel:
         spmd=(None, None),
         ocean_mask=None,
         mevp_backend: str = "auto",
+        transport_substeps: int = 1,
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
         shard_map on LOCAL blocks (see parallel.shardmap); default is the
@@ -77,7 +78,11 @@ class CoupledModel:
         pan-Arctic-style domains — coastline faces become impermeable and
         coastal nodes no-slip. ``mevp_backend``: momentum-solver backend
         ('auto', 'xla', 'pallas', 'pallas-tiled', or — under shard_map —
-        'blocked' for ghost-zone halo exchange)."""
+        'blocked' for ghost-zone halo exchange). ``transport_substeps``:
+        advect with k sub-steps of dt/k per coupled step — the explicit
+        DG advection is stable for u dt/(k dx) below ~1/(2p+1), so raise
+        k for strong-forcing configs where drift speeds exceed it (the
+        wind-driven box at 8 m/s winds needs k=2 at dx=2 km, dt=600 s)."""
         self.mesh = mesh
         self.spmd = tuple(spmd)
         self.ocean_mask = None if ocean_mask is None else jnp.asarray(ocean_mask)
@@ -93,6 +98,7 @@ class CoupledModel:
             mesh, mevp_params, backend=mevp_backend, spmd=self.spmd
         )
         self.n_subcycles = n_subcycles
+        self.transport_substeps = max(1, int(transport_substeps))
         if physics is None:
             physics = NextsimPhysics()  # default modules, default parameters
         self.physics = physics
@@ -261,9 +267,12 @@ class CoupledModel:
             # pointwise positivity limiting (Zhang-Shu) per RK stage. The
             # three tracers ride one batched pass (shared velocity reads).
             tracers = jnp.stack([hice, cice, hsnow], axis=1)  # (K, 3, nx, ny)
-            tracers = self.transport.step(
-                tracers, qv, dt, limit=True, face_masks=self.face_masks(dtype)
-            )
+            masks = self.face_masks(dtype)
+            for _ in range(self.transport_substeps):
+                tracers = self.transport.step(
+                    tracers, qv, dt / self.transport_substeps,
+                    limit=True, face_masks=masks,
+                )
             hice, cice, hsnow = tracers[:, 0], tracers[:, 1], tracers[:, 2]
 
             # 3. bounds: means clamped, higher moments scaled accordingly.

@@ -96,7 +96,11 @@ def fused_dynamics_pallas(
         from ..transport import velocity_from_cg
 
         qv = velocity_from_cg(mesh, transport.basis, final[0], final[1])
-        out_tracer[:] = transport.step(tracer_ref[:], qv, dt, limit=True)
+        k_sub = model.transport_substeps
+        tr = tracer_ref[:]
+        for _ in range(k_sub):
+            tr = transport.step(tr, qv, dt / k_sub, limit=True)
+        out_tracer[:] = tr
 
     out_shapes = [jax.ShapeDtypeStruct(u.shape, u.dtype) for _ in range(5)] + [
         jax.ShapeDtypeStruct(tracers.shape, tracers.dtype)

@@ -19,6 +19,7 @@ section:
     dy = 2000.0
     degree = 1                      # DG degree: 0, 1 or 2
     subcycles = 100
+    transport_substeps = 1          # advection sub-steps per model step
     thermo = true
     forcing = cyclone               # constant | cyclone (native engine)
                                     # | archive:<forcing.h5> | era5:<era5.nc>
@@ -90,6 +91,7 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         dy = float(get("dynamics.dy", 2000.0))
         degree = int(get("dynamics.degree", 1))
         subcycles = int(get("dynamics.subcycles", 100))
+        transport_substeps = int(get("dynamics.transport_substeps", 1))
         do_thermo = bool(get("dynamics.thermo", True))
         forcing_mode = get("dynamics.forcing", "constant")
         wind = float(get("dynamics.wind", 15.0))
@@ -109,7 +111,8 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         else:
             mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy)
         model = CoupledModel(
-            mesh, degree=degree, mevp_params=MEVPParams(), n_subcycles=subcycles
+            mesh, degree=degree, mevp_params=MEVPParams(),
+            n_subcycles=subcycles, transport_substeps=transport_substeps,
         )
         dtype = jnp.float32
         if init_file:
