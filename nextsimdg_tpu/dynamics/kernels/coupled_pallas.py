@@ -23,13 +23,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: VMEM budget [bytes] for the fused dynamics step. Measured on v5e at
-#: dG1 x 3 tracers x 100 subcycles: 16.57 MB scoped allocation at 256^2
-#: (~66 f32 plane-equivalents; the mEVP fori-loop stack dominates), just
-#: over the 16 MB scoped-vmem limit — so the fused step applies up to
-#: ~192^2 and the headline 256^2 runs the staged (mEVP kernel + XLA
-#: transport) path.
-_VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
+#: Scoped-VMEM cap requested from Mosaic [bytes]. The Mosaic default is
+#: 16 MB — at dG1 x 3 tracers the fused step measures ~66 f32
+#: plane-equivalents (16.57 MB at 256^2), which used to cap it at ~192^2.
+#: A v5e core has 128 MB of physical VMEM and a single-block pallas_call
+#: is its only tenant, so request most of it and budget residents below.
+_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_BUDGET = 96 * 1024 * 1024
 
 _CONST_NAMES = (
     "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
@@ -115,6 +115,7 @@ def fused_dynamics_pallas(
         # their VMEM footprint (reads all happen before the writes) — the
         # saving is what lets 256^2 fit the scoped-vmem budget.
         input_output_aliases={n_consts + k: k for k in range(6)},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*const_arrays, *state_arrays, tracers)
     return tuple(outs[:5]), outs[5]

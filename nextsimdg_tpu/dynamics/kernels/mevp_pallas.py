@@ -26,8 +26,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: VMEM budget for the fused kernel [bytes]; leave headroom for temporaries.
-_VMEM_BUDGET = 12 * 1024 * 1024
+#: Scoped-VMEM cap requested from Mosaic [bytes]. The Mosaic default is
+#: 16 MB (a fraction of the 128 MB physical VMEM of a v5e core, left low
+#: so XLA fusions can co-allocate); a pallas_call is the only tenant of
+#: its core while it runs, so the fused kernel requests most of the chip.
+_VMEM_LIMIT = 110 * 1024 * 1024
+#: VMEM budget for the kernel's residents [bytes]. The Mosaic fori-loop
+#: stack temporaries (~12 further planes) scale with the block and must
+#: also fit: measured on v5e, 768^2 (47 MB of residents) compiles and
+#: runs 1.18x over XLA, 1024^2 (84 MB) exceeds physical VMEM.
+_VMEM_BUDGET = 48 * 1024 * 1024
 #: Fields held resident: 7 constants + 5 state + ~8 live temporaries.
 _RESIDENT_FIELDS = 20
 
@@ -76,5 +84,6 @@ def mevp_subcycles_pallas(
         out_shape=out_shapes,
         in_specs=[vmem() for _ in range(len(const_names) + 5)],
         out_specs=[vmem() for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*const_arrays, u, v, s11, s22, s12)

@@ -11,8 +11,13 @@ from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
 
 
 def test_pallas_supported_thresholds():
+    # With the raised Mosaic scoped-VMEM cap (110 MB of the v5e core's
+    # 128 MB physical VMEM) the single-block kernel covers up to 768^2;
+    # 1024^2's residents + loop temporaries exceed physical VMEM.
     assert pallas_supported(256, 256)
-    assert not pallas_supported(512, 512)
+    assert pallas_supported(512, 512)
+    assert pallas_supported(768, 768)
+    assert not pallas_supported(1024, 1024)
     assert not pallas_supported(2048, 2048)
 
 
