@@ -194,6 +194,12 @@ def mevp_subcycles_tiled(
             in_specs=[any_spec, any_spec],
             out_specs=any_spec,
             scratch_shapes=scratch_shapes,
+            # Raised scoped-VMEM cap (the Mosaic default is 16 MB; the
+            # kernel is its core's only tenant): scratch blocks + the
+            # ~24 block-sized loop temporaries budget against this.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
             # NO input/output aliasing: tiles run sequentially and later
             # tiles read halo strips from their neighbors' PRE-round
             # interiors — in-place writes would corrupt those reads.
