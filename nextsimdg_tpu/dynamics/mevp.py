@@ -134,13 +134,16 @@ class MEVPSolver:
     ) -> None:
         """``backend``: 'auto' (fused Pallas kernel on TPU when the grid fits
         VMEM, else XLA), 'xla', 'pallas', or 'pallas-interpret' (testing).
-        ``spmd``: mesh axis names when running inside shard_map. The default
-        under shard_map exchanges width-1 halos via ppermute EVERY subcycle;
+        ``spmd``: mesh axis names when running inside shard_map. Under
+        shard_map 'xla' exchanges width-1 halos via ppermute EVERY subcycle;
         ``backend='blocked'`` instead widens the local block by
         ``block_halo`` ghost cells once per ``block_halo`` subcycles (one
         ppermute pair per axis per round) — ~8x block_halo fewer messages
-        at ((n+2H)/n)^2 redundant compute, the right trade when halo
-        latency dominates (multi-host DCN, many small subdomains)."""
+        at ((n+2H)/n)^2 redundant compute, AND the widened local solve runs
+        the VMEM-resident fused Pallas kernel when it fits
+        (``_blocked_inner_engine``). 'auto' under shard_map selects
+        'blocked' on TPU for uniform meshes; 'blocked-interpret' forces the
+        fused inner kernel in interpret mode (testing on CPU meshes)."""
         self.mesh = mesh
         self.params = params
         self.backend = backend
@@ -150,11 +153,25 @@ class MEVPSolver:
     def _kernel_choice(self) -> str:
         """'single' (fused), 'tiled', 'blocked' (shard_map ghost zones) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
-            if self.backend == "blocked":
+            if self.backend in ("blocked", "blocked-interpret"):
                 if not self.mesh.uniform:
                     raise NotImplementedError(
                         "blocked halo exchange requires a uniform local mesh"
                     )
+                return "blocked"
+            if (
+                self.backend == "auto"
+                and self.mesh.uniform
+                and jax.default_backend() == "tpu"
+                and min(self.mesh.nx, self.mesh.ny) >= self.block_halo
+            ):
+                # Multi-chip default on TPU: ghost-zone halo rounds whose
+                # local solve runs the VMEM-resident Pallas kernel (the
+                # per-subcycle width-1 ppermute path re-streams the full
+                # state from HBM every subcycle and forfeits the fused
+                # kernel's 1.5-3.1x win exactly where the large configs
+                # live). The interiors are EXACTLY equal by construction
+                # (tests/test_shardmap.py).
                 return "blocked"
             # Per-subcycle width-1 ppermute halos on the XLA path.
             return "xla"
@@ -168,8 +185,6 @@ class MEVPSolver:
         if self.backend == "xla":
             return "xla"
         from .kernels.mevp_pallas import pallas_supported
-
-        import jax
 
         if jax.default_backend() != "tpu":
             return "xla"
@@ -366,6 +381,29 @@ class MEVPSolver:
             consts["inv_w"] = 1.0 / node_area
         return consts
 
+    def _blocked_inner_engine(self, nxw: int, nyw: int) -> str:
+        """Kernel for the widened local block of the blocked exchange.
+
+        'single[-interpret]' = the VMEM-resident fused Pallas kernel (the
+        whole point of blocking: the per-device subcycle loop keeps the
+        1.5-3.1x single-chip kernel win under shard_map); 'tiled' when the
+        widened block exceeds VMEM but tiles evenly; 'xla' otherwise (and
+        on non-TPU backends, except when testing via 'blocked-interpret').
+        """
+        if self.backend == "blocked-interpret":
+            return "single-interpret"
+        if jax.default_backend() != "tpu":
+            return "xla"
+        from .kernels.mevp_pallas import pallas_supported
+
+        if pallas_supported(nxw, nyw):
+            return "single"
+        from .kernels.mevp_tiled import tiled_supported
+
+        if nxw * nyw >= 3_000_000 and tiled_supported(nxw, nyw):
+            return "tiled"
+        return "xla"
+
     def _blocked_subcycles(self, carry0, consts, dt, n_subcycles):
         """Ghost-zone ("temporally blocked") halo exchange under shard_map.
 
@@ -375,6 +413,12 @@ class MEVPSolver:
         neighbor data; global walls arrive as zero strips), keep the
         interior, repeat. Each subcycle invalidates one ghost ring, so the
         interior stays EXACTLY equal to the per-subcycle-exchange result.
+
+        The widened-block solve itself runs the fused VMEM-resident Pallas
+        kernel when it fits (see ``_blocked_inner_engine``) — this is what
+        carries the single-chip kernel wins into multi-chip configs: the
+        collectives (one ppermute pair per axis per H subcycles) live
+        OUTSIDE the kernel, so the kernel body needs no remote semantics.
         """
         from .stencil import halo_widen
 
@@ -397,14 +441,29 @@ class MEVPSolver:
             backend="xla",
         )
         consts_w = {name: widen(value) for name, value in consts.items()}
+        engine = self._blocked_inner_engine(nx + 2 * h, ny + 2 * h)
 
         def round_body(carry, n_sub):
             padded = tuple(widen(f) for f in carry)
 
-            def sub(_, c):
-                return local.subcycle_body(c, consts_w, dt)
+            if engine in ("single", "single-interpret"):
+                from .kernels.mevp_pallas import mevp_subcycles_pallas
 
-            padded = jax.lax.fori_loop(0, n_sub, sub, padded)
+                padded = mevp_subcycles_pallas(
+                    local, padded, consts_w, dt, n_sub,
+                    interpret=(engine == "single-interpret"),
+                )
+            elif engine == "tiled":
+                from .kernels.mevp_tiled import mevp_subcycles_tiled
+
+                padded = mevp_subcycles_tiled(
+                    local, padded, consts_w, dt, n_sub
+                )
+            else:
+                def sub(_, c):
+                    return local.subcycle_body(c, consts_w, dt)
+
+                padded = jax.lax.fori_loop(0, n_sub, sub, padded)
             return tuple(p[h : h + nx, h : h + ny] for p in padded)
 
         carry = carry0

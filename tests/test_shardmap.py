@@ -103,7 +103,14 @@ def test_blocked_halo_exchange_matches_per_subcycle():
     local = RectMesh(nx=n // px, ny=n // py, dx=mesh.dx, dy=mesh.dy)
     spec = P("X", "Y")
 
-    for backend, halo in (("xla", None), ("blocked", 4), ("blocked", 7)):
+    for backend, halo in (
+        ("xla", None),
+        ("blocked", 4),
+        ("blocked", 7),
+        # Ghost-zone rounds whose local solve runs the fused Pallas kernel
+        # (interpret mode on the CPU mesh): the multi-chip kernel path.
+        ("blocked-interpret", 5),
+    ):
         kwargs = {} if halo is None else {"block_halo": halo}
         solver = MEVPSolver(
             local, MEVPParams(), backend=backend, spmd=("X", "Y"), **kwargs
