@@ -219,6 +219,7 @@ class CoupledModel:
             )
             final, tracers = fused_dynamics_pallas(
                 self, carry0, tracers, consts, dt, self.n_subcycles,
+                face_masks=self.face_masks(dtype),
                 interpret=(self._fused_dynamics_mode() == "interpret"),
             )
             velocity = VelocityState(

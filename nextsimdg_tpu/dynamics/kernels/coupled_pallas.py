@@ -9,11 +9,13 @@ traces ALL of it inside one ``pallas_call``: the final velocity never
 leaves VMEM before the tracers consume it.
 
 Requirements: uniform mesh, closed/periodic handled by the shared jnp
-bodies (wall selects are iota-based, so they lower in Mosaic), no land
-masks, CG1 solver, and the whole working set in VMEM:
-12 mEVP planes + (K x n_tracers) coefficient planes + 12 quad-velocity
-planes + temporaries — ~40 plane-equivalents at dG1 x 3 tracers, fitting
-~256^2 f32 comfortably.
+bodies (wall selects are iota-based, so they lower in Mosaic), CG1
+solver, and the whole working set in VMEM: 12 mEVP planes +
+(K x n_tracers) coefficient planes + 12 quad-velocity planes +
+temporaries — ~40 plane-equivalents at dG1 x 3 tracers, fitting ~256^2
+f32 comfortably. Land masks are supported: the mEVP side already rides
+the ``active`` const plane, and coastline face masks enter as two more
+constant planes multiplying the upwind fluxes.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ _CONST_NAMES = (
 def fused_dynamics_supported(model, n_tracers: int = 3) -> bool:
     """Whether the single-block fused dynamics kernel applies."""
     mesh = model.mesh
-    if not mesh.uniform or model.ocean_mask is not None:
+    if not mesh.uniform:
         return False
     if any(axis is not None for axis in model.spmd):
         return False
@@ -51,7 +53,10 @@ def fused_dynamics_supported(model, n_tracers: int = 3) -> bool:
         return False
     # Calibrated on v5e: 12 mEVP planes + 12 quad-velocity planes + donated
     # tracer coeffs + ~33 Mosaic stack temporaries ~= 66 plane-equivalents.
+    # Land-mask configs add the two coastline face-mask const planes.
     planes = 12 + 12 + model.transport.basis.n_dofs * n_tracers + 33
+    if model.ocean_mask is not None:
+        planes += 2
     itemsize = 4
     return mesh.nx * mesh.ny * itemsize * planes <= _VMEM_BUDGET
 
@@ -63,6 +68,7 @@ def fused_dynamics_pallas(
     consts: dict,  # MEVPSolver.step_consts output
     dt: float,
     n_subcycles: int,
+    face_masks=None,  # optional (face_x, face_y) coastline masks
     interpret: bool = False,
 ):
     """Returns ((u, v, s11, s22, s12), tracers) after one dynamics phase."""
@@ -72,17 +78,23 @@ def fused_dynamics_pallas(
     u = state_arrays[0]
     const_arrays = [consts[name] for name in _CONST_NAMES]
     n_consts = len(_CONST_NAMES)
+    n_masks = 0 if face_masks is None else 2
+    mask_arrays = [] if face_masks is None else list(face_masks)
 
     def kernel(*refs):
         const_refs = refs[:n_consts]
-        state_refs = refs[n_consts : n_consts + 5]
-        tracer_ref = refs[n_consts + 5]
-        out_state = refs[n_consts + 6 : n_consts + 11]
-        out_tracer = refs[n_consts + 11]
+        mask_refs = refs[n_consts : n_consts + n_masks]
+        state_refs = refs[n_consts + n_masks : n_consts + n_masks + 5]
+        tracer_ref = refs[n_consts + n_masks + 5]
+        out_state = refs[n_consts + n_masks + 6 : n_consts + n_masks + 11]
+        out_tracer = refs[n_consts + n_masks + 11]
 
         kconsts = {
             name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)
         }
+        kmasks = None
+        if n_masks:
+            kmasks = (mask_refs[0][:], mask_refs[1][:])
 
         def body(_, carry):
             return solver.subcycle_body(carry, kconsts, dt)
@@ -99,7 +111,9 @@ def fused_dynamics_pallas(
         k_sub = model.transport_substeps
         tr = tracer_ref[:]
         for _ in range(k_sub):
-            tr = transport.step(tr, qv, dt / k_sub, limit=True)
+            tr = transport.step(
+                tr, qv, dt / k_sub, limit=True, face_masks=kmasks
+            )
         out_tracer[:] = tr
 
     out_shapes = [jax.ShapeDtypeStruct(u.shape, u.dtype) for _ in range(5)] + [
@@ -109,13 +123,13 @@ def fused_dynamics_pallas(
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vmem() for _ in range(n_consts + 6)],
+        in_specs=[vmem() for _ in range(n_consts + n_masks + 6)],
         out_specs=[vmem() for _ in range(6)],
         # Single-block kernel: donating the state/tracer inputs halves
         # their VMEM footprint (reads all happen before the writes) — the
         # saving is what lets 256^2 fit the scoped-vmem budget.
-        input_output_aliases={n_consts + k: k for k in range(6)},
+        input_output_aliases={n_consts + n_masks + k: k for k in range(6)},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(*const_arrays, *state_arrays, tracers)
+    )(*const_arrays, *mask_arrays, *state_arrays, tracers)
     return tuple(outs[:5]), outs[5]

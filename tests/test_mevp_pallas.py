@@ -118,3 +118,56 @@ def test_fused_dynamics_interpret_matches_staged_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13
         )
+
+
+def test_fused_dynamics_with_land_mask_matches_staged_path():
+    """Fused dynamics kernel with a land mask (coastline face masks enter
+    the kernel as two extra constant planes) == staged path, exactly."""
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+
+    n = 16
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    # An island + a straight coastline strip.
+    ocean = np.ones((n, n))
+    ocean[5:8, 6:10] = 0.0
+    ocean[:, 0] = 0.0
+
+    models = {
+        "staged": CoupledModel(mesh, degree=1, n_subcycles=15, ocean_mask=ocean),
+        "fused": CoupledModel(
+            mesh, degree=1, n_subcycles=15, ocean_mask=ocean,
+            mevp_backend="pallas-interpret",
+        ),
+    }
+    assert models["fused"]._fused_dynamics_mode() == "interpret"
+    assert models["staged"]._fused_dynamics_mode() is None
+
+    results = {}
+    for name, model in models.items():
+        state = model.initial_state(hice0=1.2, cice0=0.9, hsnow0=0.1, dtype=dtype)
+        for _ in range(2):
+            state = model.step(state, None, df, dt=600.0, do_thermo=False)
+        results[name] = state
+
+    for a, b in zip(
+        jax.tree.leaves(results["staged"]), jax.tree.leaves(results["fused"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13
+        )
+    # The land mask must actually bite: tracer mean over land cells differs
+    # from an unmasked run (guards against the masks being dropped).
+    unmasked = CoupledModel(mesh, degree=1, n_subcycles=15)
+    state_u = unmasked.initial_state(hice0=1.2, cice0=0.9, hsnow0=0.1, dtype=dtype)
+    for _ in range(2):
+        state_u = unmasked.step(state_u, None, df, dt=600.0, do_thermo=False)
+    assert not np.allclose(
+        np.asarray(results["fused"].hice), np.asarray(state_u.hice)
+    )
