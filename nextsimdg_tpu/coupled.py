@@ -69,6 +69,7 @@ class CoupledModel:
         spmd=(None, None),
         ocean_mask=None,
         mevp_backend: str = "auto",
+        mevp_block_halo: int = 16,
         transport_substeps: int = 1,
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
@@ -94,8 +95,14 @@ class CoupledModel:
         solver_cls = ModuleRegistry.get_loader().get_implementation(
             "Nextsim::IDynamics"
         )
+        solver_kwargs = {}
+        if any(axis is not None for axis in self.spmd):
+            # Ghost-zone width of the blocked halo exchange (must not
+            # exceed the local block; only meaningful under shard_map).
+            solver_kwargs["block_halo"] = mevp_block_halo
         self.mevp = solver_cls(
-            mesh, mevp_params, backend=mevp_backend, spmd=self.spmd
+            mesh, mevp_params, backend=mevp_backend, spmd=self.spmd,
+            **solver_kwargs,
         )
         self.n_subcycles = n_subcycles
         self.transport_substeps = max(1, int(transport_substeps))

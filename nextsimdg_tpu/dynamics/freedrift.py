@@ -25,6 +25,7 @@ class FreeDriftSolver:
         params: MEVPParams = MEVPParams(),
         backend: str = "auto",  # accepted for interface parity; unused
         spmd=(None, None),
+        block_halo: int = 16,  # interface parity; unused
     ) -> None:
         self.mesh = mesh
         self.params = params

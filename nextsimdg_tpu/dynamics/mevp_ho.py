@@ -168,6 +168,7 @@ class MEVPSolverHO:
         params: MEVPParams = MEVPParams(),
         backend: str = "auto",  # interface parity; XLA path only for now
         spmd=(None, None),
+        block_halo: int = 16,  # interface parity; unused
     ) -> None:
         self.mesh = mesh
         self.params = params
