@@ -28,19 +28,35 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed (idempotent)."""
+    """Initialize jax.distributed (idempotent).
+
+    With explicit coordinates (a configured pod/cluster launch), an init
+    failure is an ERROR — silently degrading to single-host would run the
+    science on 1/N of the domain. Only the no-argument, env-autodetected
+    form is allowed to fall back to local devices.
+    """
     if jax.process_count() > 1:
         return  # already initialized
+    explicit = any(
+        arg is not None
+        for arg in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as err:
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed.initialize failed for an explicitly "
+                f"configured multi-host launch ({coordinator_address=}, "
+                f"{num_processes=}, {process_id=}); refusing to degrade "
+                "to single-host"
+            ) from err
         # Single-process environments (no coordinator configured): proceed
         # with the local devices only.
-        pass
 
 
 def is_multi_host() -> bool:

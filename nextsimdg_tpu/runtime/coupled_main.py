@@ -40,9 +40,25 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+import enum
+
 from ..config import CommandLineParser, Configurator, Configured
+from ..config.enum_map import EnumWrapper
 from ..utils.logged import Logged
 from ..utils.timer import main_timer
+
+
+class Geometry(enum.Enum):
+    CARTESIAN = "cartesian"
+    SPHERICAL = "spherical"
+
+
+#: Config-text -> enum converter for ``dynamics.geometry`` (an unmapped
+#: token raises, reproducing EnumWrapper.hpp:58-112's validation_error).
+_GEOMETRY = EnumWrapper(
+    Geometry,
+    {"cartesian": Geometry.CARTESIAN, "spherical": Geometry.SPHERICAL},
+)
 
 
 def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
@@ -95,14 +111,14 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         do_thermo = bool(get("dynamics.thermo", True))
         forcing_mode = get("dynamics.forcing", "constant")
         wind = float(get("dynamics.wind", 15.0))
-        geometry = get("dynamics.geometry", "cartesian")
+        geometry = _GEOMETRY(get("dynamics.geometry", "cartesian"))
         lat0 = float(get("dynamics.lat0", 70.0))
         lat1 = float(get("dynamics.lat1", 80.0))
         lon0 = float(get("dynamics.lon0", 0.0))
         lon1 = float(get("dynamics.lon1", 20.0))
         init_file = get("model.init_file", "")
 
-        if geometry == "spherical":
+        if geometry is Geometry.SPHERICAL:
             from ..dynamics.mesh import SphericalMesh
 
             mesh = SphericalMesh(
@@ -138,7 +154,7 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             from ..io.era5 import era5_to_archive, lonlat_box
             from ..io.forcing_file import ForcingProvider
 
-            if geometry == "spherical":
+            if geometry is Geometry.SPHERICAL:
                 dst_lats, dst_lons = mesh.lonlat_centers()
             else:
                 dst_lats, dst_lons = lonlat_box(nx, ny, lat0, lat1, lon0, lon1)
