@@ -45,17 +45,20 @@ def main() -> None:
     state = model.initial_state(
         hice0=1.0, cice0=0.9, hsnow0=0.05, sst0=-1.6, sss0=32.0, dtype=dtype
     )
-    # Wind 5 m/s: the wind-driven pileup at the closed wall stays inside
-    # the dG1/RK2 advective CFL for the whole chunk (u_max ~1.5 m/s,
-    # u dt/dx ~0.45); at 8 m/s the state exceeds it and blows up by step
-    # ~800, so every timed run also restarts from the initial state.
+    # Wind 8 m/s (the BASELINE config-3 strong-drift box). Round 1 timed
+    # wind 5 because 8 m/s exceeded the dG1/RK2 advective CFL by step ~800;
+    # CFL-adaptive transport substepping (the default) now raises the
+    # substep count in-kernel when the drift is fast, so the honest config
+    # runs indefinitely. The adaptivity is ALSO the measured cost: fast
+    # -drift steps advect twice at dt/2 (~25% below the wind-5/k=1 number).
+    # Every timed run restarts from the initial state (identical work).
     full = lambda v: jnp.full((n, n), v, dtype=dtype)
     phys_forcing = Forcing(
         tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
-        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(5.0),
+        lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0),
     )
     dyn_forcing = DynamicsForcing(
-        u_atm=full(5.0), v_atm=full(1.25), u_ocean=full(0.02), v_ocean=full(0.0)
+        u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02), v_ocean=full(0.0)
     )
 
     # Dynamics-only (BASELINE config 3: thermodynamics off) via lax.scan.

@@ -71,6 +71,7 @@ class CoupledModel:
         mevp_backend: str = "auto",
         mevp_block_halo: int = 16,
         transport_substeps: int = 1,
+        auto_substeps: bool = True,
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
         shard_map on LOCAL blocks (see parallel.shardmap); default is the
@@ -81,9 +82,12 @@ class CoupledModel:
         ('auto', 'xla', 'pallas', 'pallas-tiled', or — under shard_map —
         'blocked' for ghost-zone halo exchange). ``transport_substeps``:
         advect with k sub-steps of dt/k per coupled step — the explicit
-        DG advection is stable for u dt/(k dx) below ~1/(2p+1), so raise
-        k for strong-forcing configs where drift speeds exceed it (the
-        wind-driven box at 8 m/s winds needs k=2 at dx=2 km, dt=600 s)."""
+        DG advection is stable for u dt/(k dx) below ~1/(2p+1).
+        ``auto_substeps`` (default True): k is chosen PER STEP from the
+        advective CFL of the post-mEVP velocity
+        (``transport.cfl_substeps``; ``transport_substeps`` remains the
+        floor), so strong-forcing configs stay stable with no hand-set
+        substeps; False pins k = transport_substeps exactly."""
         self.mesh = mesh
         self.spmd = tuple(spmd)
         self.ocean_mask = None if ocean_mask is None else jnp.asarray(ocean_mask)
@@ -106,6 +110,7 @@ class CoupledModel:
         )
         self.n_subcycles = n_subcycles
         self.transport_substeps = max(1, int(transport_substeps))
+        self.auto_substeps = bool(auto_substeps)
         if physics is None:
             physics = NextsimPhysics()  # default modules, default parameters
         self.physics = physics
@@ -276,11 +281,29 @@ class CoupledModel:
             # three tracers ride one batched pass (shared velocity reads).
             tracers = jnp.stack([hice, cice, hsnow], axis=1)  # (K, 3, nx, ny)
             masks = self.face_masks(dtype)
-            for _ in range(self.transport_substeps):
-                tracers = self.transport.step(
-                    tracers, qv, dt / self.transport_substeps,
-                    limit=True, face_masks=masks,
+            if self.auto_substeps:
+                # CFL-adaptive substep count (traced; fori_loop lowers to a
+                # dynamic-trip-count while_loop). transport_substeps = floor.
+                from .dynamics.transport import cfl_substeps
+
+                k = cfl_substeps(
+                    qv, dt, self.mesh, self.transport.basis.degree,
+                    k_floor=self.transport_substeps, spmd=self.spmd,
                 )
+                dt_sub = dt / k.astype(dtype)
+                tracers = jax.lax.fori_loop(
+                    0, k,
+                    lambda _, tr: self.transport.step(
+                        tr, qv, dt_sub, limit=True, face_masks=masks
+                    ),
+                    tracers,
+                )
+            else:
+                for _ in range(self.transport_substeps):
+                    tracers = self.transport.step(
+                        tracers, qv, dt / self.transport_substeps,
+                        limit=True, face_masks=masks,
+                    )
             hice, cice, hsnow = tracers[:, 0], tracers[:, 1], tracers[:, 2]
 
             # 3. bounds: means clamped, higher moments scaled accordingly.

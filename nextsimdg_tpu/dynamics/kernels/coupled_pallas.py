@@ -105,15 +105,32 @@ def fused_dynamics_pallas(
         for ref, value in zip(out_state, final):
             ref[:] = value
 
-        from ..transport import velocity_from_cg
+        from ..transport import cfl_substeps, velocity_from_cg
 
         qv = velocity_from_cg(mesh, transport.basis, final[0], final[1])
-        k_sub = model.transport_substeps
         tr = tracer_ref[:]
-        for _ in range(k_sub):
-            tr = transport.step(
-                tr, qv, dt / k_sub, limit=True, face_masks=kmasks
+        if model.auto_substeps:
+            # CFL-adaptive substep count computed IN-KERNEL from the final
+            # velocity (already VMEM-resident); the dynamic trip count
+            # lowers to a Mosaic while loop.
+            k = cfl_substeps(
+                qv, dt, mesh, transport.basis.degree,
+                k_floor=model.transport_substeps,
             )
+            dt_sub = dt / k.astype(tr.dtype)
+            tr = jax.lax.fori_loop(
+                0, k,
+                lambda _, t: transport.step(
+                    t, qv, dt_sub, limit=True, face_masks=kmasks
+                ),
+                tr,
+            )
+        else:
+            k_sub = model.transport_substeps
+            for _ in range(k_sub):
+                tr = transport.step(
+                    tr, qv, dt / k_sub, limit=True, face_masks=kmasks
+                )
         out_tracer[:] = tr
 
     out_shapes = [jax.ShapeDtypeStruct(u.shape, u.dtype) for _ in range(5)] + [

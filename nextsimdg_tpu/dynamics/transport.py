@@ -159,6 +159,39 @@ def velocity_from_cg(mesh: RectMesh, basis: DGBasis, u, v, spmd=(None, None)) ->
     return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
 
 
+def cfl_substeps(
+    qv: "QuadVelocity", dt, mesh: RectMesh, degree: int,
+    k_floor: int = 1, k_max: int = 64, spmd=(None, None),
+):
+    """Traced transport substep count from the advective CFL number.
+
+    The explicit RK-DG upwind scheme is stable for
+    ``nu = (|vx|/dx + |vy|/dy) dt_sub <= ~1/(2p+1)``; this returns
+    ``k = ceil(nu / C)`` (C safety-factored) so ``dt/k`` substeps are
+    stable for the CURRENT velocity — a cheap max-reduction per step
+    instead of a hand-tuned ``transport_substeps``. Conservative form:
+    global max speed against the smallest element. Under shard_map the
+    max rides a ``pmax`` so every device agrees on the trip count.
+    """
+    c_stab = 0.7 / (2 * degree + 1)
+    # The METRIC widths (mesh.dx, not dx_array): on spherical meshes the
+    # zonal width carries cos(phi) and the poleward rows are the tightest.
+    dx_min = float(np.min(np.asarray(mesh.dx)))
+    dy_min = float(np.min(np.asarray(mesh.dy)))
+    speed_x = jnp.maximum(
+        jnp.max(jnp.abs(qv.vx_vol)), jnp.max(jnp.abs(qv.vn_x))
+    )
+    speed_y = jnp.maximum(
+        jnp.max(jnp.abs(qv.vy_vol)), jnp.max(jnp.abs(qv.vn_y))
+    )
+    nu = (speed_x / dx_min + speed_y / dy_min) * dt
+    for axis in spmd:
+        if axis is not None:
+            nu = jax.lax.pmax(nu, axis)
+    k = jnp.ceil(nu / c_stab).astype(jnp.int32)
+    return jnp.clip(jnp.maximum(k, k_floor), 1, k_max)
+
+
 class DGTransport:
     """The transport operator for one mesh + DG degree + time scheme.
 

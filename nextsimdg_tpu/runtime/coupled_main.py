@@ -19,7 +19,8 @@ section:
     dy = 2000.0
     degree = 1                      # DG degree: 0, 1 or 2
     subcycles = 100
-    transport_substeps = 1          # advection sub-steps per model step
+    transport_substeps = 1          # advection sub-step floor per model step
+    auto_substeps = true            # CFL-adaptive sub-step count (per step)
     thermo = true
     forcing = cyclone               # constant | cyclone (native engine)
                                     # | archive:<forcing.h5> | era5:<era5.nc>
@@ -108,6 +109,7 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         degree = int(get("dynamics.degree", 1))
         subcycles = int(get("dynamics.subcycles", 100))
         transport_substeps = int(get("dynamics.transport_substeps", 1))
+        auto_substeps = bool(get("dynamics.auto_substeps", True))
         do_thermo = bool(get("dynamics.thermo", True))
         forcing_mode = get("dynamics.forcing", "constant")
         wind = float(get("dynamics.wind", 15.0))
@@ -129,6 +131,7 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         model = CoupledModel(
             mesh, degree=degree, mevp_params=MEVPParams(),
             n_subcycles=subcycles, transport_substeps=transport_substeps,
+            auto_substeps=auto_substeps,
         )
         dtype = jnp.float32
         if init_file:

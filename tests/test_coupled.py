@@ -113,3 +113,56 @@ def test_multi_device_multi_step_transport_and_mevp():
     )
     for a, b in zip(jax.tree.leaves(single), jax.tree.leaves(sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11)
+
+
+def test_cfl_substeps_counts():
+    """cfl_substeps: k=1 for slow flow, grows with speed, floor respected."""
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.transport import QuadVelocity, cfl_substeps
+
+    mesh = RectMesh(nx=8, ny=8, dx=2000.0, dy=2000.0)
+    qv = lambda s: QuadVelocity(
+        vx_vol=jnp.full((9, 8, 8), s), vy_vol=jnp.zeros((9, 8, 8)),
+        vn_x=jnp.full((3, 8, 8), s), vn_y=jnp.zeros((3, 8, 8)),
+    )
+    # nu = s * 600 / 2000; dG1 limit C = 0.7/3.
+    assert int(cfl_substeps(qv(0.1), 600.0, mesh, 1)) == 1
+    assert int(cfl_substeps(qv(1.5), 600.0, mesh, 1)) == 2
+    assert int(cfl_substeps(qv(0.0), 600.0, mesh, 1, k_floor=3)) == 3
+    assert int(cfl_substeps(qv(1e6), 600.0, mesh, 1, k_max=16)) == 16
+
+
+def test_wind8_box_stays_finite_without_hand_set_substeps():
+    """The wind-8 box exceeded the dG1/RK2 advective CFL near step 800 in
+    round 1 and required hand-set transport_substeps; with CFL-adaptive
+    substepping (the default) a long run stays finite and bounded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+
+    n = 32
+    # Same physical extent/step as the headline box: dx = 2 km, dt = 600 s.
+    mesh = RectMesh(nx=n, ny=n, dx=2000.0, dy=2000.0)
+    model = CoupledModel(mesh, degree=1, n_subcycles=20)
+    assert model.auto_substeps
+    state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05)
+    full = lambda v: jnp.full((n, n), v, jnp.float32)
+    df = DynamicsForcing(
+        u_atm=full(8.0), v_atm=full(8.0), u_ocean=full(0.1), v_ocean=full(0.0)
+    )
+    # 2000+ steps on device; the small box reaches its terminal drift speed
+    # far sooner than the 256^2 domain does.
+    state = model.run(state, None, df, dt=600.0, n_steps=2000, do_thermo=False)
+    for leaf in jax.tree.leaves(state):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    assert float(jnp.max(state.cice[0])) <= 1.0 + 1e-6
+    # Bounded, not blown up (isolated near-zero-thickness ice-edge nodes
+    # carry a few m/s of classic mEVP edge noise; blow-up would be inf/nan
+    # or orders of magnitude larger).
+    assert float(jnp.max(jnp.abs(state.velocity.u))) < 5.0
