@@ -21,10 +21,17 @@ def bench(n, backend, n_sub=100, outer=None, reps=3, **tiled_kwargs):
     mesh = RectMesh(nx=n, ny=n, dx=4e6 / n, dy=4e6 / n)
     solver = MEVPSolver(mesh, MEVPParams(), backend=backend)
     if tiled_kwargs:
-        import functools
+        # Force a specific tile/halo config by overriding the auto-tuner
+        # (the solver passes auto_config's choice as explicit kwargs).
         from nextsimdg_tpu.dynamics.kernels import mevp_tiled
-        orig = mevp_tiled.mevp_subcycles_tiled
-        mevp_tiled.mevp_subcycles_tiled = functools.partial(orig, **tiled_kwargs)
+        g = tiled_kwargs.get
+        cfg = (
+            g("tile_x", g("tile", mevp_tiled.DEFAULT_TILE_X)),
+            g("tile_y", g("tile", mevp_tiled.DEFAULT_TILE_Y)),
+            g("halo_x", g("halo", mevp_tiled.DEFAULT_HALO_X)),
+            g("halo_y", g("halo", mevp_tiled.DEFAULT_HALO_Y)),
+        )
+        mevp_tiled.auto_config = lambda nx, ny: cfg
     dtype = jnp.float32
     full = lambda v: jnp.full((n, n), v, dtype)
     state = VelocityState.zeros(n, n, dtype)

@@ -65,6 +65,53 @@ def tiled_supported(
     return nx % tile_x == 0 and ny % tile_y == 0 and nx >= tile_x and ny >= tile_y
 
 
+#: VMEM budget for auto_config: 12 scratch blocks + ~24 block-sized Mosaic
+#: stack temporaries of the subcycle body, against the raised 110 MB cap.
+_BLOCK_EQUIVALENTS = 36
+_TILED_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def auto_config(nx: int, ny: int):
+    """Pick (tile_x, tile_y, halo_x, halo_y) for a closed (nx, ny) grid.
+
+    Preference order (measured v5e, docs/performance.md): FULL-ROW tiles
+    (tile_y = ny, halo_y = 0 — no 128-lane halo, so no lane-offset
+    constraint and no y-redundancy) with the widest tile_x and halo_x=32
+    that fit the VMEM budget; fall back to the round-1 (128, 512) tiles
+    with (8, 128) halos when rows are too long. Returns None when nothing
+    fits the alignment rules.
+    """
+    itemsize = 4
+    budget = _TILED_VMEM_BUDGET // (_BLOCK_EQUIVALENTS * itemsize)
+    best = None
+    best_cost = None
+    if ny % 128 == 0:
+        for halo_x in (8, 16, 32):
+            tile_x = 512
+            while tile_x >= 8:
+                if (
+                    nx % tile_x == 0
+                    and (tile_x + 2 * halo_x) % 8 == 0
+                    and (tile_x + 2 * halo_x) * ny <= budget
+                ):
+                    # Cost model per subcycle-element [arbitrary units]:
+                    # VPU compute ~53 ps/el x the x-redundancy, plus HBM
+                    # traffic of ~19 planes per round amortized over
+                    # halo_x subcycles at ~700 GB/s (~108.6 ps/el/round).
+                    redundancy = (tile_x + 2 * halo_x) / tile_x
+                    cost = redundancy * (53.0 + 108.6 / halo_x)
+                    if best_cost is None or cost < best_cost:
+                        best = (tile_x, ny, halo_x, 0)
+                        best_cost = cost
+                    break  # wider tiles only reduce redundancy; found max
+                tile_x //= 2
+    if best is not None:
+        return best
+    if tiled_supported(nx, ny):
+        return DEFAULT_TILE_X, DEFAULT_TILE_Y, DEFAULT_HALO_X, DEFAULT_HALO_Y
+    return None
+
+
 def mevp_subcycles_tiled(
     solver,  # MEVPSolver (static; carries mesh + params)
     state_arrays,  # (u, v, s11, s22, s12), each (nx, ny)
@@ -87,10 +134,21 @@ def mevp_subcycles_tiled(
     u, v, s11, s22, s12 = state_arrays
     nx, ny = u.shape
     dtype = u.dtype
+    if nx % tile_x or ny % tile_y:
+        raise ValueError(
+            f"grid ({nx}, {ny}) is not divisible by tiles ({tile_x}, {tile_y})"
+        )
     n_ti, n_tj = nx // tile_x, ny // tile_y
+    # A zero halo is allowed exactly when the tile spans that whole axis
+    # (closed boundary: the block edge IS the wall, no exchange needed —
+    # this removes the 128-lane halo and its redundant compute entirely).
+    if halo_x == 0 and n_ti != 1:
+        raise ValueError("halo_x=0 requires tile_x == nx")
+    if halo_y == 0 and n_tj != 1:
+        raise ValueError("halo_y=0 requires tile_y == ny")
     block_x = tile_x + 2 * halo_x
     block_y = tile_y + 2 * halo_y
-    sub_per_round = min(halo_x, halo_y)
+    sub_per_round = min(h for h in (halo_x, halo_y) if h > 0)
     pad_x, pad_y = nx + 2 * halo_x, ny + 2 * halo_y
     n_consts = len(_CONST_NAMES)
     n_fields = n_consts + 5
@@ -130,12 +188,17 @@ def mevp_subcycles_tiled(
             # Global-edge tiles: the state rings outside the domain came
             # from an uninitialized output buffer of the previous round —
             # zero them in VMEM (this IS the closed boundary condition).
-            zero_strips = (
-                (ti == 0, (pl.ds(0, halo_x), slice(None))),
-                (ti == n_ti - 1, (pl.ds(halo_x + tile_x, halo_x), slice(None))),
-                (tj == 0, (slice(None), pl.ds(0, halo_y))),
-                (tj == n_tj - 1, (slice(None), pl.ds(halo_y + tile_y, halo_y))),
-            )
+            zero_strips = []
+            if halo_x:
+                zero_strips += [
+                    (ti == 0, (pl.ds(0, halo_x), slice(None))),
+                    (ti == n_ti - 1, (pl.ds(halo_x + tile_x, halo_x), slice(None))),
+                ]
+            if halo_y:
+                zero_strips += [
+                    (tj == 0, (slice(None), pl.ds(0, halo_y))),
+                    (tj == n_tj - 1, (slice(None), pl.ds(halo_y + tile_y, halo_y))),
+                ]
             for k in range(5):
                 dst = scratch[n_consts + k]
                 for cond, idx in zero_strips:

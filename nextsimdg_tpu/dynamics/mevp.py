@@ -190,18 +190,17 @@ class MEVPSolver:
             return "xla"
         if pallas_supported(self.mesh.nx, self.mesh.ny):
             return "single"
-        from .kernels.mevp_tiled import tiled_supported
+        from .kernels.mevp_tiled import auto_config
 
-        # Mid-size grids (~1M elements): XLA still streams at ~520 GB/s and
-        # beats the tiled kernel's redundant halo compute. Beyond ~3M
-        # elements XLA's effective bandwidth collapses (fusion splits /
-        # buffer pressure) and temporal blocking wins: 1.5x at 2048^2,
-        # 3.1x at 4096^2 on v5e (docs/performance.md).
+        # With full-row auto-config tiles (no lane halo) the tiled kernel
+        # matches XLA already at 1024^2 (7.5 vs 8.1 ms) and pulls away as
+        # XLA's effective bandwidth collapses with working-set size:
+        # 2.13x at 2048^2, 4.27x at 4096^2 on v5e (docs/performance.md).
         if (
-            self.mesh.n_elements >= 3_000_000
+            self.mesh.n_elements >= 1_000_000
             and not self.mesh.periodic_x
             and not self.mesh.periodic_y
-            and tiled_supported(self.mesh.nx, self.mesh.ny)
+            and auto_config(self.mesh.nx, self.mesh.ny) is not None
         ):
             return "tiled"
         return "xla"
@@ -310,12 +309,18 @@ class MEVPSolver:
                 interpret=(self.backend == "pallas-interpret"),
             )
         elif choice == "tiled":
-            from .kernels.mevp_tiled import mevp_subcycles_tiled
+            from .kernels.mevp_tiled import auto_config, mevp_subcycles_tiled
 
             kwargs = {}
             if self.backend == "pallas-tiled-interpret":
                 # Tiny tiles so small test grids exercise multiple tiles.
                 kwargs = dict(tile=min(8, self.mesh.nx), halo=4, interpret=True)
+            else:
+                cfg = auto_config(self.mesh.nx, self.mesh.ny)
+                if cfg is not None:
+                    kwargs = dict(
+                        tile_x=cfg[0], tile_y=cfg[1], halo_x=cfg[2], halo_y=cfg[3]
+                    )
             u, v, s11, s22, s12 = mevp_subcycles_tiled(
                 self, carry0, consts, dt, n_subcycles, **kwargs
             )
@@ -398,9 +403,9 @@ class MEVPSolver:
 
         if pallas_supported(nxw, nyw):
             return "single"
-        from .kernels.mevp_tiled import tiled_supported
+        from .kernels.mevp_tiled import auto_config
 
-        if nxw * nyw >= 3_000_000 and tiled_supported(nxw, nyw):
+        if nxw * nyw >= 1_000_000 and auto_config(nxw, nyw) is not None:
             return "tiled"
         return "xla"
 
@@ -454,10 +459,12 @@ class MEVPSolver:
                     interpret=(engine == "single-interpret"),
                 )
             elif engine == "tiled":
-                from .kernels.mevp_tiled import mevp_subcycles_tiled
+                from .kernels.mevp_tiled import auto_config, mevp_subcycles_tiled
 
+                cfg = auto_config(nx + 2 * h, ny + 2 * h)
                 padded = mevp_subcycles_tiled(
-                    local, padded, consts_w, dt, n_sub
+                    local, padded, consts_w, dt, n_sub,
+                    tile_x=cfg[0], tile_y=cfg[1], halo_x=cfg[2], halo_y=cfg[3],
                 )
             else:
                 def sub(_, c):

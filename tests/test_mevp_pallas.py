@@ -51,6 +51,60 @@ def test_tiled_interpret_matches_xla_path():
         )
 
 
+def test_tiled_full_row_interpret_matches_xla_path():
+    """Full-row tiles (tile_y = ny, halo_y = 0: the block's y-edges ARE the
+    closed walls, so no lane halo and no y-redundant compute) == XLA path."""
+    from nextsimdg_tpu.dynamics.kernels.mevp_tiled import mevp_subcycles_tiled
+
+    n = 16
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    h = jnp.full((n, n), 2.0, dtype=jnp.float32)
+    a = jnp.full((n, n), 0.9, dtype=jnp.float32)
+    nodes = (n, n)
+    forcing = DynamicsForcing(
+        u_atm=jnp.full(nodes, 8.0, jnp.float32),
+        v_atm=jnp.full(nodes, 2.0, jnp.float32),
+        u_ocean=jnp.full(nodes, 0.02, jnp.float32),
+        v_ocean=jnp.zeros(nodes, jnp.float32),
+    )
+    xla = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    mask = xla.boundary_mask(dtype=jnp.float32)
+    state = VelocityState.zeros(n, n, dtype=jnp.float32)
+    out_xla = xla.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=10)
+
+    consts = xla.step_consts(state, h, a, forcing, mask, 600.0)
+    carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
+    out = mevp_subcycles_tiled(
+        xla, carry0, consts, 600.0, 10,
+        tile_x=8, tile_y=n, halo_x=4, halo_y=0, interpret=True,
+    )
+    for k, name in enumerate(("u", "v", "s11", "s22", "s12")):
+        np.testing.assert_allclose(
+            np.asarray(out[k]),
+            np.asarray(getattr(out_xla, name)),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+
+
+def test_tiled_auto_config():
+    from nextsimdg_tpu.dynamics.kernels.mevp_tiled import (
+        _BLOCK_EQUIVALENTS, _TILED_VMEM_BUDGET, auto_config,
+    )
+
+    for n in (2048, 4096, 8192):
+        tile_x, tile_y, halo_x, halo_y = auto_config(n, n)
+        # Full-row tiles: no lane halo, tile spans the whole y axis.
+        assert tile_y == n and halo_y == 0
+        assert n % tile_x == 0 and (tile_x + 2 * halo_x) % 8 == 0
+        block_elems = (tile_x + 2 * halo_x) * tile_y
+        assert block_elems * _BLOCK_EQUIVALENTS * 4 <= _TILED_VMEM_BUDGET
+    # ny not lane-aligned and defaults don't divide -> unsupported.
+    assert auto_config(100, 100) is None
+    # Defaults fallback when rows are too long for full-row blocks but the
+    # (128, 512) tiling divides.
+    assert auto_config(512, 65536) == (128, 512, 8, 128)
+
+
 def test_pallas_interpret_matches_xla_path():
     n = 16
     mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
