@@ -166,12 +166,13 @@ class MEVPSolverHO:
         self,
         mesh: RectMesh,
         params: MEVPParams = MEVPParams(),
-        backend: str = "auto",  # interface parity; XLA path only for now
+        backend: str = "auto",  # 'auto' | 'xla' | 'pallas[-interpret]'
         spmd=(None, None),
         block_halo: int = 16,  # interface parity; unused
     ) -> None:
         self.mesh = mesh
         self.params = params
+        self.backend = backend
         self.spmd = tuple(spmd)
         self.tables = cg2_tables()
 
@@ -292,6 +293,145 @@ class MEVPSolverHO:
         return HOField(**masks)
 
     # -- the mEVP iteration --------------------------------------------------
+    def _kernel_choice(self) -> str:
+        """'single[-interpret]' (fused VMEM-resident Pallas) or 'xla'."""
+        if any(axis is not None for axis in self.spmd):
+            return "xla"
+        if self.backend in ("pallas", "pallas-interpret"):
+            return (
+                "single-interpret"
+                if self.backend == "pallas-interpret"
+                else "single"
+            )
+        if self.backend == "xla":
+            return "xla"
+        if not self.mesh.uniform:
+            # Graded meshes carry (nx, ny) metric arrays that the traced
+            # kernel body would capture as large constants; XLA path only.
+            return "xla"
+        from .kernels.mevp_ho_pallas import ho_pallas_supported
+
+        if jax.default_backend() == "tpu" and ho_pallas_supported(
+            self.mesh.nx, self.mesh.ny
+        ):
+            return "single"
+        return "xla"
+
+    def step_consts(self, state: HOVelocityState, h, a, forcing, mask, dt: float):
+        """Per-step constant planes shared by the XLA and fused backends.
+
+        29 planes: element ice strength, plus per CG2 plane k: dt/m, the
+        active (mask * has-ice) factor, the constant velocity-update
+        numerator b = u_n + (dt/m) tau_a, reciprocal lumped-mass weights,
+        and the ocean currents.
+        """
+        p = self.params
+        dtype = state.u.v.dtype
+        consts = {
+            "strength": p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
+        }
+        h_node = self.node_thickness(h)
+        weights = self.node_weights(dtype=dtype)
+        for k in PLANES:
+            m = p.rho_ice * getattr(h_node, k)
+            dm = dt / jnp.maximum(m, p.min_ice_mass)
+            ua = getattr(forcing.u_atm, k)
+            va = getattr(forcing.v_atm, k)
+            wind = p.rho_atm * p.cd_atm * jnp.sqrt(ua * ua + va * va)
+            consts[f"dt_m_{k}"] = dm
+            consts[f"active_{k}"] = (
+                getattr(mask, k) * (m > p.min_ice_mass).astype(dtype)
+            )
+            consts[f"b_u_{k}"] = getattr(state.u, k) + dm * wind * ua
+            consts[f"b_v_{k}"] = getattr(state.v, k) + dm * wind * va
+            consts[f"inv_w_{k}"] = 1.0 / getattr(weights, k)
+            consts[f"u_ocean_{k}"] = getattr(forcing.u_ocean, k)
+            consts[f"v_ocean_{k}"] = getattr(forcing.v_ocean, k)
+        return consts
+
+    def subcycle_body(self, carry, consts, dt: float):
+        """One HO mEVP subcycle — shared by the XLA path and the fused
+        Pallas kernel (traced inside the kernel on identical jnp code).
+
+        ``carry``: (u: HOField, v: HOField, s11, s22, s12) with stresses as
+        (3, nx, ny) dG1 coefficients; ``consts``: see :meth:`step_consts`.
+        """
+        p = self.params
+        t = self.tables
+        e2 = p.ellipse * p.ellipse
+        alpha, beta = p.alpha, p.beta
+        u, v, s11, s22, s12 = carry
+        strength = consts["strength"]
+
+        # Gauss-point projection tables with weights/mass folded in.
+        proj = (t.phi_dg1 * t.w_vol[None, :]) * (
+            1.0 / np.array([1.0, 1 / 12, 1 / 12])
+        )[:, None]
+        phi_at_q = t.phi_dg1  # (3, NQ)
+
+        e11, e22, e12 = self.strain_rates(u, v)
+
+        # VP law at Gauss points, projected back to dG1.
+        e11_q = apply_table(phi_at_q, e11)
+        e22_q = apply_table(phi_at_q, e22)
+        e12_q = apply_table(phi_at_q, e12)
+        delta_q = jnp.sqrt(
+            (e11_q * e11_q + e22_q * e22_q) * (1.0 + 1.0 / e2)
+            + 2.0 * e11_q * e22_q * (1.0 - 1.0 / e2)
+            + 4.0 / e2 * e12_q * e12_q
+        )
+        inv_denom = 1.0 / (delta_q + p.delta_min)
+        zeta_q = 0.5 * strength[None] * inv_denom
+        eta_q = zeta_q * (1.0 / e2)
+        p_rep_q = strength[None] * delta_q * inv_denom
+        div_q = e11_q + e22_q
+        s11_vp_q = 2.0 * eta_q * e11_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
+        s22_vp_q = 2.0 * eta_q * e22_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
+        s12_vp_q = 2.0 * eta_q * e12_q
+
+        s11_vp = apply_table(proj.T, s11_vp_q)
+        s22_vp = apply_table(proj.T, s22_vp_q)
+        s12_vp = apply_table(proj.T, s12_vp_q)
+
+        inv_alpha = 1.0 / alpha
+        s11 = s11 + (s11_vp - s11) * inv_alpha
+        s22 = s22 + (s22_vp - s22) * inv_alpha
+        s12 = s12 + (s12_vp - s12) * inv_alpha
+
+        fu_raw, fv_raw = self.stress_divergence(s11, s22, s12)
+
+        # u and v at a node share |u_rel| and the drag denominator:
+        # compute c_w once per plane and fold the Dirichlet mask into
+        # one shared reciprocal (1 divide + 1 sqrt per plane, not 2+2).
+        def plane_uv(k):
+            uk, vk = getattr(u, k), getattr(v, k)
+            uo = consts[f"u_ocean_{k}"]
+            vo = consts[f"v_ocean_{k}"]
+            rel_u = uo - uk
+            rel_v = vo - vk
+            c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(
+                rel_u * rel_u + rel_v * rel_v
+            )
+            cor_u = p.f_coriolis * (vk - vo) if p.use_coriolis else 0.0
+            cor_v = -p.f_coriolis * (uk - uo) if p.use_coriolis else 0.0
+            dm = consts[f"dt_m_{k}"]
+            inv_w = consts[f"inv_w_{k}"]
+            inv_drag = consts[f"active_{k}"] / (1.0 + beta + dm * c_w)
+            new_u = (
+                beta * uk + consts[f"b_u_{k}"]
+                + dm * (getattr(fu_raw, k) * inv_w + c_w * uo) + dt * cor_u
+            ) * inv_drag
+            new_v = (
+                beta * vk + consts[f"b_v_{k}"]
+                + dm * (getattr(fv_raw, k) * inv_w + c_w * vo) + dt * cor_v
+            ) * inv_drag
+            return new_u, new_v
+
+        uv = {k: plane_uv(k) for k in PLANES}
+        u_new = HOField(**{k: uv[k][0] for k in PLANES})
+        v_new = HOField(**{k: uv[k][1] for k in PLANES})
+        return (u_new, v_new, s11, s22, s12)
+
     @partial(jax.jit, static_argnames=("self", "dt", "n_subcycles"))
     def step(
         self,
@@ -303,116 +443,20 @@ class MEVPSolverHO:
         dt: float,
         n_subcycles: int = 100,
     ) -> HOVelocityState:
-        p = self.params
-        dtype = state.u.v.dtype
-        e2 = p.ellipse * p.ellipse
-        alpha, beta = p.alpha, p.beta
-        t = self.tables
+        consts = self.step_consts(state, h, a, forcing, mask, dt)
+        carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
+        choice = self._kernel_choice()
+        if choice in ("single", "single-interpret"):
+            from .kernels.mevp_ho_pallas import ho_subcycles_pallas
 
-        strength = p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
-
-        h_node = self.node_thickness(h)
-        weights = self.node_weights(dtype=dtype)
-        inv_weights = HOField(
-            **{k: 1.0 / getattr(weights, k) for k in PLANES}
-        )
-
-        def per_plane(fn):
-            return HOField(**{k: fn(k) for k in PLANES})
-
-        m_node = per_plane(lambda k: p.rho_ice * getattr(h_node, k))
-        active = per_plane(
-            lambda k: getattr(mask, k)
-            * (getattr(m_node, k) > p.min_ice_mass).astype(dtype)
-        )
-        dt_m = per_plane(
-            lambda k: dt / jnp.maximum(getattr(m_node, k), p.min_ice_mass)
-        )
-
-        def wind_tau(comp_atm, other_atm):
-            return per_plane(
-                lambda k: p.rho_atm * p.cd_atm
-                * jnp.sqrt(getattr(comp_atm, k) ** 2 + getattr(other_atm, k) ** 2)
-                * getattr(comp_atm, k)
+            carry = ho_subcycles_pallas(
+                self, carry0, consts, dt, n_subcycles,
+                interpret=(choice == "single-interpret"),
             )
+        else:
+            def subcycle(_, c):
+                return self.subcycle_body(c, consts, dt)
 
-        tau_au = wind_tau(forcing.u_atm, forcing.v_atm)
-        tau_av = wind_tau(forcing.v_atm, forcing.u_atm)
-        b_u = per_plane(lambda k: getattr(state.u, k) + getattr(dt_m, k) * getattr(tau_au, k))
-        b_v = per_plane(lambda k: getattr(state.v, k) + getattr(dt_m, k) * getattr(tau_av, k))
-
-        # Gauss-point projection tables with weights/mass folded in.
-        proj = (t.phi_dg1 * t.w_vol[None, :]) * (1.0 / np.array([1.0, 1 / 12, 1 / 12]))[:, None]
-        phi_at_q = t.phi_dg1  # (3, NQ)
-
-        def subcycle(_, carry):
-            u, v, s11, s22, s12 = carry
-
-            e11, e22, e12 = self.strain_rates(u, v)
-
-            # VP law at Gauss points, projected back to dG1.
-            e11_q = apply_table(phi_at_q, e11)
-            e22_q = apply_table(phi_at_q, e22)
-            e12_q = apply_table(phi_at_q, e12)
-            delta_q = jnp.sqrt(
-                (e11_q * e11_q + e22_q * e22_q) * (1.0 + 1.0 / e2)
-                + 2.0 * e11_q * e22_q * (1.0 - 1.0 / e2)
-                + 4.0 / e2 * e12_q * e12_q
-            )
-            inv_denom = 1.0 / (delta_q + p.delta_min)
-            zeta_q = 0.5 * strength[None] * inv_denom
-            eta_q = zeta_q * (1.0 / e2)
-            p_rep_q = strength[None] * delta_q * inv_denom
-            div_q = e11_q + e22_q
-            s11_vp_q = 2.0 * eta_q * e11_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
-            s22_vp_q = 2.0 * eta_q * e22_q + (zeta_q - eta_q) * div_q - 0.5 * p_rep_q
-            s12_vp_q = 2.0 * eta_q * e12_q
-
-            s11_vp = apply_table(proj.T, s11_vp_q)
-            s22_vp = apply_table(proj.T, s22_vp_q)
-            s12_vp = apply_table(proj.T, s12_vp_q)
-
-            inv_alpha = 1.0 / alpha
-            s11 = s11 + (s11_vp - s11) * inv_alpha
-            s22 = s22 + (s22_vp - s22) * inv_alpha
-            s12 = s12 + (s12_vp - s12) * inv_alpha
-
-            fu_raw, fv_raw = self.stress_divergence(s11, s22, s12)
-
-            # u and v at a node share |u_rel| and the drag denominator:
-            # compute c_w once per plane and fold the Dirichlet mask into
-            # one shared reciprocal (1 divide + 1 sqrt per plane, not 2+2).
-            def plane_uv(k):
-                uk, vk = getattr(u, k), getattr(v, k)
-                uo = getattr(forcing.u_ocean, k)
-                vo = getattr(forcing.v_ocean, k)
-                rel_u = uo - uk
-                rel_v = vo - vk
-                c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(
-                    rel_u * rel_u + rel_v * rel_v
-                )
-                cor_u = p.f_coriolis * (vk - vo) if p.use_coriolis else 0.0
-                cor_v = -p.f_coriolis * (uk - uo) if p.use_coriolis else 0.0
-                dm = getattr(dt_m, k)
-                inv_w = getattr(inv_weights, k)
-                inv_drag = getattr(active, k) / (1.0 + beta + dm * c_w)
-                new_u = (
-                    beta * uk + getattr(b_u, k)
-                    + dm * (getattr(fu_raw, k) * inv_w + c_w * uo) + dt * cor_u
-                ) * inv_drag
-                new_v = (
-                    beta * vk + getattr(b_v, k)
-                    + dm * (getattr(fv_raw, k) * inv_w + c_w * vo) + dt * cor_v
-                ) * inv_drag
-                return new_u, new_v
-
-            uv = {k: plane_uv(k) for k in PLANES}
-            u_new = HOField(**{k: uv[k][0] for k in PLANES})
-            v_new = HOField(**{k: uv[k][1] for k in PLANES})
-            return (u_new, v_new, s11, s22, s12)
-
-        u, v, s11, s22, s12 = jax.lax.fori_loop(
-            0, n_subcycles, subcycle,
-            (state.u, state.v, state.s11, state.s22, state.s12),
-        )
+            carry = jax.lax.fori_loop(0, n_subcycles, subcycle, carry0)
+        u, v, s11, s22, s12 = carry
         return HOVelocityState(u=u, v=v, s11=s11, s22=s22, s12=s12)

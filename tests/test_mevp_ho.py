@@ -183,3 +183,31 @@ def test_ho_coupled_runs_on_spherical_mesh():
         assert np.all(np.isfinite(np.asarray(leaf)))
     assert state.hice.dtype == jnp.float32  # no silent f64 promotion
     assert float(jnp.max(jnp.abs(state.velocity.u.v))) > 0.0
+
+
+def test_ho_pallas_interpret_matches_xla_path():
+    """Fused HO kernel (all 46 planes VMEM-resident) == XLA path."""
+    mesh, h, a, forcing = _box(n=16)
+    xla = MEVPSolverHO(mesh, MEVPParams(use_coriolis=False), backend="xla")
+    fused = MEVPSolverHO(
+        mesh, MEVPParams(use_coriolis=False), backend="pallas-interpret"
+    )
+    mask = xla.boundary_mask(dtype=jnp.float64)
+    state = HOVelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+
+    out_xla = xla.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=30)
+    out_fused = fused.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=30)
+
+    import jax
+    for name, ax, bx in zip(
+        ("u", "v", "s11", "s22", "s12"),
+        jax.tree.leaves(
+            (out_xla.u, out_xla.v, out_xla.s11, out_xla.s22, out_xla.s12)
+        ),
+        jax.tree.leaves(
+            (out_fused.u, out_fused.v, out_fused.s11, out_fused.s22, out_fused.s12)
+        ),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
+        )
