@@ -72,6 +72,7 @@ class CoupledModel:
         mevp_block_halo: int = 16,
         transport_substeps: int = 1,
         auto_substeps: bool = True,
+        tvb_m: float = None,
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
         shard_map on LOCAL blocks (see parallel.shardmap); default is the
@@ -87,11 +88,16 @@ class CoupledModel:
         advective CFL of the post-mEVP velocity
         (``transport.cfl_substeps``; ``transport_substeps`` remains the
         floor), so strong-forcing configs stay stable with no hand-set
-        substeps; False pins k = transport_substeps exactly."""
+        substeps; False pins k = transport_substeps exactly.
+        ``tvb_m``: TVB constant of the minmod slope limiter applied before
+        positivity limiting at every RK stage (None = off, 0.0 = pure
+        TVD; see DGTransport.limit_slopes)."""
         self.mesh = mesh
         self.spmd = tuple(spmd)
         self.ocean_mask = None if ocean_mask is None else jnp.asarray(ocean_mask)
-        self.transport = DGTransport(mesh, degree=degree, spmd=self.spmd)
+        self.transport = DGTransport(
+            mesh, degree=degree, spmd=self.spmd, tvb_m=tvb_m
+        )
         # The momentum solver is module-selectable (Modules.Nextsim::IDynamics:
         # Nextsim::MEVPDynamics default, Nextsim::FreeDrift alternative).
         from .modules import ModuleRegistry

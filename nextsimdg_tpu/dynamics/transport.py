@@ -203,11 +203,14 @@ class DGTransport:
 
     def __init__(
         self, mesh: RectMesh, degree: int = 1, scheme: str = None,
-        spmd=(None, None),
+        spmd=(None, None), tvb_m: float = None,
     ) -> None:
         self.mesh = mesh
         self.basis = dg_basis(degree)
         self.spmd = tuple(spmd)
+        #: TVB constant M of the minmod slope limiter (None = positivity
+        #: limiting only; 0.0 = pure TVD minmod). See ``limit_slopes``.
+        self.tvb_m = tvb_m
         #: SSP-RK order matched to spatial order by default (nextsimdg-style).
         self.scheme = scheme or {0: "rk1", 1: "rk2", 2: "rk3"}[degree]
         b = self.basis
@@ -390,12 +393,99 @@ class DGTransport:
         )
         return jnp.concatenate([mean[None], psi[1:] * theta[None]], axis=0)
 
+    # -- TVB slope limiting (Cockburn & Shu) ----------------------------------
+    def limit_slopes(self, psi):
+        """TVB minmod slope limiter on the linear moments (dG1/dG2).
+
+        The Zhang-Shu positivity limiter guarantees psi >= 0 but not
+        monotonicity — sharp fronts at dG1/dG2 still ring. This is the
+        classical TVB-modified minmod of Cockburn & Shu: each linear
+        moment is compared against the forward/backward cell-mean
+        differences (for a smooth linear field psi1 == both differences,
+        so exact linears are untouched),
+
+            psi1' = minmod(psi1, mean_{i+1}-mean_i, mean_i-mean_{i-1}),
+
+        EXCEPT where |psi1| <= M dx^2 (the TVB tolerance: genuine smooth
+        extrema are left at full order; ``tvb_m`` = M, 0 = pure TVD).
+        Where a linear moment was actually cut, the element's quadratic
+        moments are zeroed (the polynomial falls back to the limited P1 —
+        the standard hierarchical-limiter behavior). Cell means are never
+        touched, so conservation is exact. Closed walls use zero-gradient
+        ghost means (one-sided differences clamp to 0 there).
+        """
+        if self.tvb_m is None or self.basis.n_dofs == 1:
+            return psi
+        from .stencil import is_global_edge, shift_m, shift_p
+
+        mesh = self.mesh
+        dtype = psi.dtype
+        px, py = mesh.periodic_x, mesh.periodic_y
+        ax_x, ax_y = self.spmd
+        mean = psi[0]
+        x_axis, y_axis = mean.ndim - 2, mean.ndim - 1
+
+        def deltas(axis, periodic, axis_name):
+            d_fwd = shift_p(mean, axis, periodic, axis_name) - mean
+            d_bwd = mean - shift_m(mean, axis, periodic, axis_name)
+            if not periodic:
+                # Zero-gradient ghosts at the global walls (the zero-filled
+                # shifts would otherwise fabricate a -mean jump there).
+                n = mean.shape[axis]
+                idx = jax.lax.broadcasted_iota(jnp.int32, mean.shape, axis)
+                d_fwd = jnp.where(
+                    (idx == n - 1) & is_global_edge(axis_name, "last"),
+                    0.0, d_fwd,
+                )
+                d_bwd = jnp.where(
+                    (idx == 0) & is_global_edge(axis_name, "first"),
+                    0.0, d_bwd,
+                )
+            return d_fwd, d_bwd
+
+        def minmod3(a, b, c):
+            same = (jnp.sign(a) == jnp.sign(b)) & (jnp.sign(a) == jnp.sign(c))
+            m = jnp.sign(a) * jnp.minimum(jnp.abs(a), jnp.minimum(jnp.abs(b), jnp.abs(c)))
+            return jnp.where(same, m, 0.0)
+
+        # TVB tolerance M dx^2 (physical widths; per-element on graded meshes).
+        from .mevp import _metric
+
+        dx = _metric(mesh.dx, dtype)
+        dy = _metric(mesh.dy, dtype)
+        tol_x = self.tvb_m * dx * dx
+        tol_y = self.tvb_m * dy * dy
+
+        dpx, dmx = deltas(x_axis, px, ax_x)
+        dpy, dmy = deltas(y_axis, py, ax_y)
+        s1 = jnp.where(
+            jnp.abs(psi[1]) <= tol_x, psi[1], minmod3(psi[1], dpx, dmx)
+        )
+        s2 = jnp.where(
+            jnp.abs(psi[2]) <= tol_y, psi[2], minmod3(psi[2], dpy, dmy)
+        )
+        if self.basis.n_dofs == 3:
+            return jnp.stack([mean, s1, s2])
+        # dG2: where a linear moment was cut, drop to the limited P1.
+        eps = jnp.asarray(1e-12, dtype)
+        cut = (jnp.abs(s1 - psi[1]) > eps) | (jnp.abs(s2 - psi[2]) > eps)
+        keep = jnp.where(cut, 0.0, 1.0)
+        return jnp.stack(
+            [mean, s1, s2, psi[3] * keep, psi[4] * keep, psi[5] * keep]
+        )
+
     # -- SSP-RK time stepping ------------------------------------------------
     def step(self, psi, vel: QuadVelocity, dt, limit: bool = False, face_masks=None):
         """One SSP-RK step; ``limit`` applies the positivity limiter after
         every RK stage (SSP keeps the limited property through the convex
-        combinations)."""
-        lim = self.limit_positivity if limit else (lambda p: p)
+        combinations). When ``tvb_m`` is configured, the TVB slope limiter
+        runs before the positivity limiter at every stage."""
+        if limit and self.tvb_m is not None:
+            lim = lambda p: self.limit_positivity(self.limit_slopes(p))
+        elif limit:
+            lim = self.limit_positivity
+        else:
+            lim = lambda p: p
         rhs = lambda p: self.rhs(p, vel, face_masks)
         if self.scheme == "rk1":
             return lim(psi + dt * rhs(psi))

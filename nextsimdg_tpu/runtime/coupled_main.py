@@ -110,6 +110,8 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         subcycles = int(get("dynamics.subcycles", 100))
         transport_substeps = int(get("dynamics.transport_substeps", 1))
         auto_substeps = bool(get("dynamics.auto_substeps", True))
+        tvb_m_raw = get("dynamics.tvb_m", "")
+        tvb_m = float(tvb_m_raw) if str(tvb_m_raw) != "" else None
         do_thermo = bool(get("dynamics.thermo", True))
         forcing_mode = get("dynamics.forcing", "constant")
         wind = float(get("dynamics.wind", 15.0))
@@ -131,7 +133,7 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         model = CoupledModel(
             mesh, degree=degree, mevp_params=MEVPParams(),
             n_subcycles=subcycles, transport_substeps=transport_substeps,
-            auto_substeps=auto_substeps,
+            auto_substeps=auto_substeps, tvb_m=tvb_m,
         )
         dtype = jnp.float32
         if init_file:
