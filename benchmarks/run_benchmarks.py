@@ -152,8 +152,29 @@ def bench_box(n=256, n_subcycles=100) -> dict:
     }
 
 
-def bench_coupled_1m(n=1024) -> dict:
-    """BASELINE config 4: coupled thermo+dynamics, ~1M elements."""
+def _synthetic_coastline(n: int) -> np.ndarray:
+    """A pan-Arctic-style ocean mask: wavy coasts + islands, ~85% ocean."""
+    ocean = np.ones((n, n))
+    i = np.arange(n)
+    coast = (0.06 * n * (1.0 + 0.5 * np.sin(2 * np.pi * i / (n / 3)))).astype(int)
+    for j in range(n):
+        ocean[: coast[j], j] = 0.0  # western coastline
+    ocean[:, : n // 32] = 0.0  # southern shelf
+    rng = np.random.default_rng(7)
+    for _ in range(max(4, n // 256)):  # islands
+        ci, cj = rng.integers(n // 4, 3 * n // 4, size=2)
+        r = rng.integers(n // 64, n // 24)
+        ii, jj = np.ogrid[:n, :n]
+        ocean[(ii - ci) ** 2 + (jj - cj) ** 2 < r * r] = 0.0
+    return ocean
+
+
+def bench_coupled_1m(n=1024, land_mask=False) -> dict:
+    """BASELINE config 4: coupled thermo+dynamics, ~1M elements.
+
+    ``land_mask=True`` adds a synthetic pan-Arctic-style coastline (the
+    realistic config: impermeable coastline faces, no-slip coastal nodes).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -164,7 +185,8 @@ def bench_coupled_1m(n=1024) -> dict:
 
     dtype = jnp.float32
     mesh = RectMesh(nx=n, ny=n, dx=4e3, dy=4e3)
-    model = CoupledModel(mesh, degree=1, n_subcycles=100)
+    ocean = _synthetic_coastline(n) if land_mask else None
+    model = CoupledModel(mesh, degree=1, n_subcycles=100, ocean_mask=ocean)
     state = model.initial_state(hice0=1.2, cice0=0.95, hsnow0=0.1, dtype=dtype)
     full = lambda v: jnp.full((n, n), v, dtype)
     pf = Forcing(tair=full(-15.0), dew2m=full(-17.0), pair=full(1e5), sw_in=full(5.0),
@@ -174,8 +196,9 @@ def bench_coupled_1m(n=1024) -> dict:
     chunk = 16
     run = lambda s: model.run(s, pf, df, 600.0, chunk)
     best = _timed_chunk(run, state, chunk)
+    mask_tag = ", synthetic coastline" if land_mask else ""
     return {
-        "metric": f"coupled thermo+dynamics element updates/s ({n}x{n} ~1M elements, f32)",
+        "metric": f"coupled thermo+dynamics element updates/s ({n}x{n} ~1M elements{mask_tag}, f32)",
         "value": float(f"{n * n * chunk / best:.4g}"),
         "unit": "elements/s",
     }
@@ -229,6 +252,7 @@ CONFIGS = {
     "advection": bench_advection,
     "box": bench_box,
     "coupled_1m": bench_coupled_1m,
+    "coupled_1m_mask": lambda: bench_coupled_1m(land_mask=True),
     "multihost_16m": bench_multihost_16m,
 }
 

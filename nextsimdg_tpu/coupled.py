@@ -73,6 +73,7 @@ class CoupledModel:
         transport_substeps: int = 1,
         auto_substeps: bool = True,
         tvb_m: float = None,
+        transport_backend: str = "auto",
     ) -> None:
         """``spmd``: device-mesh axis names when the model runs inside
         shard_map on LOCAL blocks (see parallel.shardmap); default is the
@@ -91,7 +92,10 @@ class CoupledModel:
         substeps; False pins k = transport_substeps exactly.
         ``tvb_m``: TVB constant of the minmod slope limiter applied before
         positivity limiting at every RK stage (None = off, 0.0 = pure
-        TVD; see DGTransport.limit_slopes)."""
+        TVD; see DGTransport.limit_slopes).
+        ``transport_backend``: 'auto' (ghost-zone tiled Pallas kernel on
+        TPU for >=1M closed uniform grids, XLA otherwise), 'xla', or
+        'tiled-interpret' (force the tiled kernel in interpret mode)."""
         self.mesh = mesh
         self.spmd = tuple(spmd)
         self.ocean_mask = None if ocean_mask is None else jnp.asarray(ocean_mask)
@@ -117,6 +121,7 @@ class CoupledModel:
         self.n_subcycles = n_subcycles
         self.transport_substeps = max(1, int(transport_substeps))
         self.auto_substeps = bool(auto_substeps)
+        self.transport_backend = transport_backend
         if physics is None:
             physics = NextsimPhysics()  # default modules, default parameters
         self.physics = physics
@@ -205,6 +210,29 @@ class CoupledModel:
             return "tpu"
         return None
 
+    def _tiled_transport_mode(self):
+        """'tpu' | 'interpret' | None for the ghost-zone tiled transport."""
+        mesh = self.mesh
+        if (
+            self.is_high_order
+            or not mesh.uniform
+            or mesh.periodic_x
+            or mesh.periodic_y
+            or any(axis is not None for axis in self.spmd)
+        ):
+            return None
+        if self.transport_backend == "tiled-interpret":
+            return "interpret"
+        if self.transport_backend != "auto":
+            return None
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return None
+        from .dynamics.kernels.transport_tiled import transport_tiled_config
+
+        return "tpu" if transport_tiled_config(self) is not None else None
+
     # -- one coupled timestep ------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "dt", "do_dynamics", "do_thermo"))
     def step(
@@ -287,7 +315,33 @@ class CoupledModel:
             # three tracers ride one batched pass (shared velocity reads).
             tracers = jnp.stack([hice, cice, hsnow], axis=1)  # (K, 3, nx, ny)
             masks = self.face_masks(dtype)
-            if self.auto_substeps:
+            tiled_mode = None if self.is_high_order else self._tiled_transport_mode()
+            if tiled_mode is not None:
+                # Ghost-zone tiled Pallas transport: the CFL count is a
+                # GLOBAL reduction, so it is computed here from the full
+                # sampled velocity (bit-identical to the staged k) and
+                # passed into the kernel as an SMEM scalar.
+                from .dynamics.kernels.transport_tiled import (
+                    transport_substeps_tiled,
+                )
+                from .dynamics.transport import cfl_substeps
+
+                if self.auto_substeps:
+                    k = cfl_substeps(
+                        qv, dt, self.mesh, self.transport.basis.degree,
+                        k_floor=self.transport_substeps, spmd=self.spmd,
+                    )
+                else:
+                    k = jnp.int32(self.transport_substeps)
+                tile_kw = {}
+                if tiled_mode == "interpret":
+                    tile_kw = dict(tile_x=min(8, self.mesh.nx))
+                tracers = transport_substeps_tiled(
+                    self, tracers, velocity.u, velocity.v,
+                    dt / k.astype(dtype), k, face_masks=masks,
+                    interpret=(tiled_mode == "interpret"), **tile_kw,
+                )
+            elif self.auto_substeps:
                 # CFL-adaptive substep count (traced; fori_loop lowers to a
                 # dynamic-trip-count while_loop). transport_substeps = floor.
                 from .dynamics.transport import cfl_substeps

@@ -1,0 +1,241 @@
+"""Temporally-blocked tiled Pallas kernel for the DG transport phase.
+
+On >=1M-element grids the staged transport path re-streams ~40 planes per
+RK stage from HBM (24 quadrature-velocity planes + K x T coefficients +
+intermediates) and XLA's effective bandwidth degrades with working-set
+size, making transport ~1/3 of the coupled step even at k=1 substep. This
+kernel applies the same ghost-zone strategy as ``mevp_tiled``:
+
+* tracer coefficients live PADDED by halo_x in one stacked
+  (K*T, nx+2H, ny) HBM buffer (full-row tiles: tile_y = ny, NO lane halo
+  — the y block edges are the true closed walls);
+* each tile DMAs its halo'd block of (u, v, face_x, face_y) and the
+  coefficients into VMEM, samples the quadrature velocity LOCALLY
+  (``velocity_from_cg`` on the widened block — bit-identical to the
+  global sampling in the valid region), runs n_sub RK substeps with the
+  positivity (and optional TVB) limiter entirely on-chip, and DMAs back
+  only the interior;
+* per substep the valid interior shrinks by 2 rings (RK2 stencil), +2
+  with the TVB slope limiter, +1 once for the block-edge velocity ring;
+  ``K_CAP = (halo_x - 1) // rings_per_substep`` substeps run per round
+  and a ``lax.while_loop`` chains rounds for larger CFL counts;
+* the substep count and dt_sub arrive as SMEM scalars (the CFL count is
+  a global reduction — computed OUTSIDE on the full velocity so every
+  tile agrees and the result matches the staged path exactly).
+
+Wall fluxes: the staged path zeroes the global x=0 / y=0 face fluxes with
+an iota select. Inside a tile the local row-0 select lands on the
+(discarded) halo ring, so the TRUE global wall columns are zeroed via the
+effective face masks instead (column 0 of face_x/face_y pre-zeroed by the
+caller) — numerically identical to the staged select.
+
+Closed uniform meshes only (same scope as mevp_tiled).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_BUDGET = 96 * 1024 * 1024
+_HALO_X = 8
+
+
+def transport_tiled_config(model, n_tracers: int = 3):
+    """(tile_x, halo_x, K_CAP) when the tiled transport kernel applies."""
+    mesh = model.mesh
+    if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
+        return None
+    if any(axis is not None for axis in model.spmd):
+        return None
+    if model.is_high_order:
+        return None
+    if mesh.n_elements < 1_000_000 or mesh.ny % 128:
+        return None
+    n_dofs = model.transport.basis.n_dofs
+    tvb = model.transport.tvb_m is not None
+    # Per-substep ring consumption: 2 (RK2 rhs stages) + 2 more when the
+    # TVB limiter reads neighbor means per stage; +1 once for the
+    # block-edge velocity ring.
+    rings = 4 if tvb else 2
+    k_cap = (_HALO_X - 1) // rings
+    if k_cap < 1:
+        return None
+    # VMEM plane-equivalents: 4 consts + 2 K T coefficients (in + RK stage)
+    # + 24 quadrature-velocity planes + the streamed-rhs live set
+    # (~8 K T accumulators/traces) + slack. Calibrated to the mevp_tiled
+    # budget discipline.
+    planes = 4 + 24 + 10 * n_dofs * n_tracers + 12
+    budget = _VMEM_BUDGET // (planes * 4)
+    tile_x = 512
+    while tile_x >= 8:
+        if mesh.nx % tile_x == 0 and (tile_x + 2 * _HALO_X) * mesh.ny <= budget:
+            return tile_x, _HALO_X, k_cap
+        tile_x //= 2
+    return None
+
+
+def transport_substeps_tiled(
+    model,  # CoupledModel (static: transport, mesh)
+    tracers,  # (K, T, nx, ny) stacked DG coefficients
+    u, v,  # (nx, ny) owned-node velocity
+    dt_sub,  # traced substep length (dt / k)
+    k,  # traced int32 total substep count
+    face_masks=None,  # optional (face_x, face_y) coastline masks
+    interpret: bool = False,
+    tile_x: int = None,
+):
+    """Run k transport substeps via ghost-zone tiles; returns the tracers."""
+    from ..mesh import RectMesh
+    from ..transport import DGTransport, velocity_from_cg
+
+    mesh = model.mesh
+    cfg = transport_tiled_config(model, n_tracers=tracers.shape[1])
+    if tile_x is None:
+        tile_x, halo_x, k_cap = cfg
+    else:  # test override (tiny grids)
+        halo_x, k_cap = _HALO_X, (
+            (_HALO_X - 1) // (4 if model.transport.tvb_m is not None else 2)
+        )
+    nx, ny = mesh.nx, mesh.ny
+    n_ti = nx // tile_x
+    block_x = tile_x + 2 * halo_x
+    pad_x = nx + 2 * halo_x
+    K, T = tracers.shape[0], tracers.shape[1]
+    n_st = K * T
+    dtype = tracers.dtype
+
+    # Effective face masks: the global wall columns are zeroed here (the
+    # staged path's iota select), padded rings are zero-filled (no flux
+    # through out-of-domain faces).
+    ones = jnp.ones((nx, ny), dtype)
+    fx = ones if face_masks is None else face_masks[0].astype(dtype)
+    fy = ones if face_masks is None else face_masks[1].astype(dtype)
+    fx = fx.at[0, :].set(0.0)
+    fy = fy.at[:, 0].set(0.0)
+
+    pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
+    consts_stack = jnp.stack([pad2(a) for a in (u, v, fx, fy)])
+    states0 = jnp.stack([pad2(tracers[ki, ti]) for ki in range(K) for ti in range(T)])
+
+    # Local transport operator on the widened block (closed shifts; the
+    # halo supplies real neighbor data, block edges are discarded rings).
+    local_mesh = RectMesh(nx=block_x, ny=ny, dx=mesh.dx, dy=mesh.dy)
+    local_tr = DGTransport(
+        local_mesh, degree=model.transport.basis.degree,
+        scheme=model.transport.scheme, tvb_m=model.transport.tvb_m,
+    )
+
+    def kernel(nsub_ref, dt_ref, consts_ref, states_ref, out_ref, *rest):
+        c_scr, s_scr, sems = rest
+        ti = pl.program_id(0)
+        row0 = ti * tile_x
+        window = (slice(None), pl.ds(row0, block_x), slice(None))
+
+        in_c = pltpu.make_async_copy(consts_ref.at[window], c_scr, sems.at[0])
+        in_s = pltpu.make_async_copy(states_ref.at[window], s_scr, sems.at[1])
+        in_c.start()
+        in_s.start()
+        in_c.wait()
+        in_s.wait()
+
+        # Global-edge tiles: fill the out-of-domain strips of the state
+        # block with the REPLICATED wall row (fresh output buffers have
+        # uninitialized rings). Fluxes through those strips are already
+        # killed by the zeroed wall face masks / zero-padded velocity;
+        # replication (not zeros) is what makes the TVB limiter's
+        # mean differences vanish at the wall — exactly the staged path's
+        # zero-gradient ghosts. Consts keep their jnp.pad zeros.
+        @pl.when(ti == 0)
+        def _ghost_lo():
+            wall = s_scr[:, halo_x, :]
+            s_scr[:, :halo_x, :] = jnp.broadcast_to(
+                wall[:, None, :], (n_st, halo_x, ny)
+            )
+
+        @pl.when(ti == n_ti - 1)
+        def _ghost_hi():
+            wall = s_scr[:, halo_x + tile_x - 1, :]
+            s_scr[:, halo_x + tile_x :, :] = jnp.broadcast_to(
+                wall[:, None, :], (n_st, halo_x, ny)
+            )
+
+        u_blk = c_scr[0]
+        v_blk = c_scr[1]
+        kmasks = (c_scr[2], c_scr[3])
+        qv = velocity_from_cg(local_mesh, local_tr.basis, u_blk, v_blk)
+        psi = s_scr[:].reshape(K, T, block_x, ny)
+        dt_s = dt_ref[0]
+
+        is_first = ti == 0
+        is_last = ti == n_ti - 1
+
+        def refresh_ghosts(p):
+            # Keep the zero-gradient wall ghosts valid THROUGH the substep
+            # loop (a substep overwrites the ghost rows with garbage; the
+            # wall rows themselves are valid interior for edge tiles and
+            # their next limiter pass reads the ghost means).
+            lo = jnp.where(
+                is_first,
+                jnp.broadcast_to(p[:, :, halo_x : halo_x + 1, :], p[:, :, :halo_x, :].shape),
+                p[:, :, :halo_x, :],
+            )
+            hi_row = halo_x + tile_x
+            hi = jnp.where(
+                is_last,
+                jnp.broadcast_to(p[:, :, hi_row - 1 : hi_row, :], p[:, :, hi_row:, :].shape),
+                p[:, :, hi_row:, :],
+            )
+            return jnp.concatenate([lo, p[:, :, halo_x:hi_row, :], hi], axis=2)
+
+        def body(_, p):
+            p = local_tr.step(p, qv, dt_s, limit=True, face_masks=kmasks)
+            return refresh_ghosts(p)
+
+        psi = jax.lax.fori_loop(0, nsub_ref[0], body, psi)
+        s_scr[:] = psi.reshape(n_st, block_x, ny)
+
+        out = pltpu.make_async_copy(
+            s_scr.at[:, pl.ds(halo_x, tile_x), :],
+            out_ref.at[:, pl.ds(halo_x + row0, tile_x), :],
+            sems.at[2],
+        )
+        out.start()
+        out.wait()
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_ti,),
+        out_shape=jax.ShapeDtypeStruct((n_st, pad_x, ny), dtype),
+        in_specs=[smem_spec(), smem_spec(), any_spec, any_spec],
+        out_specs=any_spec,
+        scratch_shapes=[
+            pltpu.VMEM((4, block_x, ny), dtype),
+            pltpu.VMEM((n_st, block_x, ny), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        # NO aliasing: later tiles read neighbors' PRE-round halo strips.
+        interpret=interpret,
+    )
+
+    k = jnp.asarray(k, jnp.int32)
+    dt_arr = jnp.asarray(dt_sub, dtype).reshape(1)
+
+    def round_body(carry):
+        states, done = carry
+        n_sub = jnp.minimum(jnp.int32(k_cap), k - done)
+        states = call(n_sub.reshape(1), dt_arr, consts_stack, states)
+        return states, done + n_sub
+
+    states, _ = jax.lax.while_loop(
+        lambda c: c[1] < k, round_body, (states0, jnp.int32(0))
+    )
+    interior = states[:, halo_x : halo_x + nx, :]
+    return interior.reshape(K, T, nx, ny)

@@ -225,3 +225,65 @@ def test_fused_dynamics_with_land_mask_matches_staged_path():
     assert not np.allclose(
         np.asarray(results["fused"].hice), np.asarray(state_u.hice)
     )
+
+
+def _tiled_transport_models(n=16, tvb_m=None, ocean=None, substeps=None):
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    kw = dict(degree=1, n_subcycles=15, tvb_m=tvb_m, ocean_mask=ocean)
+    if substeps is not None:
+        kw.update(auto_substeps=False, transport_substeps=substeps)
+    return {
+        "staged": CoupledModel(mesh, transport_backend="xla", **kw),
+        "tiled": CoupledModel(mesh, transport_backend="tiled-interpret", **kw),
+    }
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["plain", "mask", "tvb", "rounds"],
+)
+def test_tiled_transport_interpret_matches_staged_path(case):
+    """Ghost-zone tiled transport kernel == staged XLA path, exactly.
+
+    Cases: plain (auto CFL substeps), a land mask (coastline face masks
+    enter the kernel as const planes), the TVB slope limiter (4 rings per
+    substep), and substeps=5 > K_CAP (multi-round while_loop chaining)."""
+    import jax
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+
+    n = 16
+    ocean = None
+    kw = {}
+    if case == "mask":
+        ocean = np.ones((n, n))
+        ocean[5:8, 6:10] = 0.0
+        ocean[:, 0] = 0.0
+    if case == "tvb":
+        kw["tvb_m"] = 0.0
+    if case == "rounds":
+        kw["substeps"] = 5
+    models = _tiled_transport_models(n=n, ocean=ocean, **kw)
+    assert models["tiled"]._tiled_transport_mode() == "interpret"
+    assert models["staged"]._tiled_transport_mode() is None
+
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    results = {}
+    for name, model in models.items():
+        state = model.initial_state(hice0=1.2, cice0=0.9, hsnow0=0.1, dtype=dtype)
+        for _ in range(2):
+            state = model.step(state, None, df, dt=600.0, do_thermo=False)
+        results[name] = state
+
+    for a, b in zip(
+        jax.tree.leaves(results["staged"]), jax.tree.leaves(results["tiled"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13
+        )
