@@ -153,6 +153,12 @@ class MEVPSolver:
     def _kernel_choice(self) -> str:
         """'single' (fused), 'tiled', 'blocked' (shard_map ghost zones) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
+            if self.backend in ("rdma", "rdma-interpret"):
+                if not self.mesh.uniform:
+                    raise NotImplementedError(
+                        "rdma halo exchange requires a uniform local mesh"
+                    )
+                return "rdma"
             if self.backend in ("blocked", "blocked-interpret"):
                 if not self.mesh.uniform:
                     raise NotImplementedError(
@@ -328,6 +334,10 @@ class MEVPSolver:
             u, v, s11, s22, s12 = self._blocked_subcycles(
                 carry0, consts, dt, n_subcycles
             )
+        elif choice == "rdma":
+            u, v, s11, s22, s12 = self._rdma_subcycles(
+                carry0, consts, dt, n_subcycles
+            )
         else:
             def subcycle(_, carry):
                 return self.subcycle_body(carry, consts, dt)
@@ -479,6 +489,52 @@ class MEVPSolver:
             n_sub = min(h, remaining)
             remaining -= n_sub
             carry = round_body(carry, n_sub)
+        return carry
+
+    def _rdma_subcycles(self, carry0, consts, dt, n_subcycles):
+        """Ghost-zone rounds whose halo exchange is an in-kernel RDMA
+        overlapped with the interior compute (see kernels/mevp_rdma.py).
+
+        x-axis sharding on closed domains only; consts are widened once
+        per step via the ppermute ``halo_widen`` (7 planes per ~100
+        subcycles — not worth hiding), then every round's 5 state strips
+        ride ``make_async_remote_copy`` behind the interior pass.
+        """
+        from .kernels.mevp_rdma import mevp_round_rdma
+        from .stencil import halo_widen
+
+        ax_x, ax_y = self.spmd
+        if ax_x is None or ax_y is not None:
+            raise NotImplementedError(
+                "rdma halo exchange supports x-axis sharding only"
+            )
+        if self.mesh.periodic_x or self.mesh.periodic_y:
+            raise NotImplementedError(
+                "rdma halo exchange supports closed domains only"
+            )
+        h = self.block_halo
+        consts_w = {
+            name: halo_widen(value, h, 0, False, ax_x)
+            for name, value in consts.items()
+        }
+        local = MEVPSolver(
+            RectMesh(
+                nx=self.mesh.nx, ny=self.mesh.ny,
+                dx=self.mesh.dx, dy=self.mesh.dy,
+            ),
+            self.params,
+            backend="xla",
+        )
+        interpret = self.backend == "rdma-interpret"
+        carry = carry0
+        remaining = n_subcycles
+        while remaining > 0:
+            n_sub = min(h, remaining)
+            remaining -= n_sub
+            carry = mevp_round_rdma(
+                local, carry, consts_w, dt, n_sub, h, ax_x,
+                interpret=interpret,
+            )
         return carry
 
     def subcycle_body(self, carry, consts, dt):

@@ -12,6 +12,10 @@ import os
 # is wrong for the f64 correctness tests — they run on the host CPU with a
 # virtual 8-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon remote-compile hook intercepts XLA compilation of programs that
+# embed the TPU-interpret machinery's callbacks and hangs on the CPU
+# backend; tests never compile for the real TPU, so drop it entirely.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -137,3 +137,56 @@ def test_blocked_halo_exchange_matches_per_subcycle():
                 np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13,
                 err_msg=f"{backend} halo={halo}",
             )
+
+
+def test_rdma_halo_exchange_matches_per_subcycle():
+    """backend='rdma-interpret' (in-kernel make_async_remote_copy halo
+    exchange overlapped with the interior pass, simulated by the TPU
+    interpret machinery on the CPU mesh) == the single-device XLA result,
+    exactly — the same ghost-zone invalidation argument as 'blocked'."""
+    from jax.sharding import PartitionSpec as P
+
+    from nextsimdg_tpu.dynamics.mevp import MEVPSolver, MEVPParams, VelocityState
+    from nextsimdg_tpu.parallel import make_spatial_mesh
+
+    n = 32
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 11)
+
+    device_mesh = make_spatial_mesh((4, 1))
+    local = RectMesh(nx=n // 4, ny=n, dx=mesh.dx, dy=mesh.dy)
+    spec = P("X", None)
+    solver = MEVPSolver(
+        local, MEVPParams(), backend="rdma-interpret", spmd=("X", None),
+        block_halo=4,  # 11 subcycles = rounds of 4 + 4 + 3
+    )
+
+    def step_local(s, hh, aa, d):
+        mask = solver.boundary_mask(dtype)
+        return solver.step(s, hh, aa, d, mask, 600.0, 11)
+
+    got = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(lambda _: spec, state),
+                spec, spec, jax.tree.map(lambda _: spec, df),
+            ),
+            out_specs=jax.tree.map(lambda _: spec, state),
+            check_vma=False,
+        )
+    )(state, h, a, df)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13
+        )
