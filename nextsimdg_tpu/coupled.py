@@ -315,7 +315,7 @@ class CoupledModel:
             # three tracers ride one batched pass (shared velocity reads).
             tracers = jnp.stack([hice, cice, hsnow], axis=1)  # (K, 3, nx, ny)
             masks = self.face_masks(dtype)
-            tiled_mode = None if self.is_high_order else self._tiled_transport_mode()
+            tiled_mode = self._tiled_transport_mode()
             if tiled_mode is not None:
                 # Ghost-zone tiled Pallas transport: the CFL count is a
                 # GLOBAL reduction, so it is computed here from the full
@@ -335,7 +335,10 @@ class CoupledModel:
                     k = jnp.int32(self.transport_substeps)
                 tile_kw = {}
                 if tiled_mode == "interpret":
-                    tile_kw = dict(tile_x=min(8, self.mesh.nx))
+                    # Tiny tiles so small test grids exercise multiple
+                    # tiles; must divide nx exactly.
+                    nx = self.mesh.nx
+                    tile_kw = dict(tile_x=8 if nx % 8 == 0 else nx)
                 tracers = transport_substeps_tiled(
                     self, tracers, velocity.u, velocity.v,
                     dt / k.astype(dtype), k, face_masks=masks,

@@ -45,6 +45,18 @@ _VMEM_BUDGET = 96 * 1024 * 1024
 _HALO_X = 8
 
 
+def _rings_per_substep(transport) -> int:
+    """Valid-interior rings one substep consumes.
+
+    Every SSP-RK *stage* evaluates the +-1-ring rhs once (rk1/rk2/rk3 =
+    1/2/3 stages) and, when the TVB slope limiter is on, reads +-1-ring
+    neighbor means once more per stage. The +1 block-edge velocity ring
+    is accounted separately by the (halo - 1) budget.
+    """
+    stages = {"rk1": 1, "rk2": 2, "rk3": 3}[transport.scheme]
+    return stages * (2 if transport.tvb_m is not None else 1)
+
+
 def transport_tiled_config(model, n_tracers: int = 3):
     """(tile_x, halo_x, K_CAP) when the tiled transport kernel applies."""
     mesh = model.mesh
@@ -57,11 +69,7 @@ def transport_tiled_config(model, n_tracers: int = 3):
     if mesh.n_elements < 1_000_000 or mesh.ny % 128:
         return None
     n_dofs = model.transport.basis.n_dofs
-    tvb = model.transport.tvb_m is not None
-    # Per-substep ring consumption: 2 (RK2 rhs stages) + 2 more when the
-    # TVB limiter reads neighbor means per stage; +1 once for the
-    # block-edge velocity ring.
-    rings = 4 if tvb else 2
+    rings = _rings_per_substep(model.transport)
     k_cap = (_HALO_X - 1) // rings
     if k_cap < 1:
         return None
@@ -98,10 +106,11 @@ def transport_substeps_tiled(
     if tile_x is None:
         tile_x, halo_x, k_cap = cfg
     else:  # test override (tiny grids)
-        halo_x, k_cap = _HALO_X, (
-            (_HALO_X - 1) // (4 if model.transport.tvb_m is not None else 2)
-        )
+        halo_x = _HALO_X
+        k_cap = (_HALO_X - 1) // _rings_per_substep(model.transport)
     nx, ny = mesh.nx, mesh.ny
+    if nx % tile_x:
+        raise ValueError(f"grid rows ({nx}) not divisible by tile_x ({tile_x})")
     n_ti = nx // tile_x
     block_x = tile_x + 2 * halo_x
     pad_x = nx + 2 * halo_x

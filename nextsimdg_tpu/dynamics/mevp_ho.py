@@ -297,6 +297,15 @@ class MEVPSolverHO:
         """'single[-interpret]' (fused VMEM-resident Pallas) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
             return "xla"
+        if not self.mesh.uniform:
+            # Graded meshes carry (nx, ny) metric arrays that the traced
+            # kernel body would capture as large constants; XLA path only
+            # (an explicit 'pallas' request would fail deep in Mosaic).
+            if self.backend in ("pallas", "pallas-interpret"):
+                raise NotImplementedError(
+                    "the fused HO kernel requires a uniform mesh"
+                )
+            return "xla"
         if self.backend in ("pallas", "pallas-interpret"):
             return (
                 "single-interpret"
@@ -304,10 +313,6 @@ class MEVPSolverHO:
                 else "single"
             )
         if self.backend == "xla":
-            return "xla"
-        if not self.mesh.uniform:
-            # Graded meshes carry (nx, ny) metric arrays that the traced
-            # kernel body would capture as large constants; XLA path only.
             return "xla"
         from .kernels.mevp_ho_pallas import ho_pallas_supported
 

@@ -22,6 +22,10 @@ from typing import Optional
 
 import jax
 
+#: Set after a successful initialize() — jax.process_count() cannot detect
+#: a prior num_processes=1 init, so idempotency needs its own flag.
+_initialized = False
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
@@ -35,7 +39,8 @@ def initialize(
     science on 1/N of the domain. Only the no-argument, env-autodetected
     form is allowed to fall back to local devices.
     """
-    if jax.process_count() > 1:
+    global _initialized
+    if _initialized or jax.process_count() > 1:
         return  # already initialized
     explicit = any(
         arg is not None
@@ -57,6 +62,8 @@ def initialize(
             ) from err
         # Single-process environments (no coordinator configured): proceed
         # with the local devices only.
+        return
+    _initialized = True
 
 
 def is_multi_host() -> bool:

@@ -227,12 +227,12 @@ def test_fused_dynamics_with_land_mask_matches_staged_path():
     )
 
 
-def _tiled_transport_models(n=16, tvb_m=None, ocean=None, substeps=None):
+def _tiled_transport_models(n=16, tvb_m=None, ocean=None, substeps=None, degree=1):
     from nextsimdg_tpu.coupled import CoupledModel
     from nextsimdg_tpu.dynamics import RectMesh
 
     mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
-    kw = dict(degree=1, n_subcycles=15, tvb_m=tvb_m, ocean_mask=ocean)
+    kw = dict(degree=degree, n_subcycles=15, tvb_m=tvb_m, ocean_mask=ocean)
     if substeps is not None:
         kw.update(auto_substeps=False, transport_substeps=substeps)
     return {
@@ -243,14 +243,16 @@ def _tiled_transport_models(n=16, tvb_m=None, ocean=None, substeps=None):
 
 @pytest.mark.parametrize(
     "case",
-    ["plain", "mask", "tvb", "rounds"],
+    ["plain", "mask", "tvb", "rounds", "dg2", "dg2_tvb"],
 )
 def test_tiled_transport_interpret_matches_staged_path(case):
     """Ghost-zone tiled transport kernel == staged XLA path, exactly.
 
     Cases: plain (auto CFL substeps), a land mask (coastline face masks
-    enter the kernel as const planes), the TVB slope limiter (4 rings per
-    substep), and substeps=5 > K_CAP (multi-round while_loop chaining)."""
+    enter the kernel as const planes), the TVB slope limiter (extra ring
+    per RK stage), substeps=5 > K_CAP (multi-round while_loop chaining),
+    and dG2 (SSP-RK3: 3 rings per substep — regression for the ring
+    budget hard-coding the RK2 stencil) with and without TVB."""
     import jax
     from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
 
@@ -265,6 +267,10 @@ def test_tiled_transport_interpret_matches_staged_path(case):
         kw["tvb_m"] = 0.0
     if case == "rounds":
         kw["substeps"] = 5
+    if case == "dg2":
+        kw.update(degree=2, substeps=3)
+    if case == "dg2_tvb":
+        kw.update(degree=2, substeps=2, tvb_m=0.0)
     models = _tiled_transport_models(n=n, ocean=ocean, **kw)
     assert models["tiled"]._tiled_transport_mode() == "interpret"
     assert models["staged"]._tiled_transport_mode() is None
