@@ -259,19 +259,28 @@ class MEVPSolver:
         # graded meshes need each element weighted by ITS OWN face length
         # before shifting.
         if self.mesh.uniform:
-
-            def scatter_x(cell):
+            # s12 feeds BOTH force components; computing its three
+            # neighbor shifts once (instead of once per scatter) saves 3
+            # of 12 shift ops per subcycle — Mosaic does not CSE the
+            # slice+concat pairs across the two scatter calls.
+            def shifts(cell):
                 cm_x = shift_m(cell, 0, px, ax_x)
                 cm_y = shift_m(cell, 1, py, ax_y)
                 cm_xy = shift_m(cm_x, 1, py, ax_y)
+                return cm_x, cm_y, cm_xy
+
+            def scatter_x(cell, sh):
+                cm_x, cm_y, cm_xy = sh
                 return 0.5 * dy * ((cm_y + cell) - (cm_xy + cm_x))
 
-            def scatter_y(cell):
-                cm_x = shift_m(cell, 0, px, ax_x)
-                cm_y = shift_m(cell, 1, py, ax_y)
-                cm_xy = shift_m(cm_x, 1, py, ax_y)
+            def scatter_y(cell, sh):
+                cm_x, cm_y, cm_xy = sh
                 return 0.5 * dx * ((cm_x + cell) - (cm_xy + cm_y))
 
+            sh12 = shifts(s12)
+            fu = scatter_x(s11, shifts(s11)) + scatter_y(s12, sh12)
+            fv = scatter_x(s12, sh12) + scatter_y(s22, shifts(s22))
+            return fu, fv
         else:
 
             def scatter_x(cell):

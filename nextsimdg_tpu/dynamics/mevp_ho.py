@@ -312,14 +312,29 @@ class MEVPSolverHO:
                 if self.backend == "pallas-interpret"
                 else "single"
             )
+        if self.backend in ("pallas-tiled", "pallas-tiled-interpret"):
+            return (
+                "tiled-interpret"
+                if self.backend == "pallas-tiled-interpret"
+                else "tiled"
+            )
         if self.backend == "xla":
+            return "xla"
+        if jax.default_backend() != "tpu":
             return "xla"
         from .kernels.mevp_ho_pallas import ho_pallas_supported
 
-        if jax.default_backend() == "tpu" and ho_pallas_supported(
-            self.mesh.nx, self.mesh.ny
-        ):
+        if ho_pallas_supported(self.mesh.nx, self.mesh.ny):
             return "single"
+        from .kernels.mevp_ho_tiled import ho_tiled_config
+
+        if (
+            self.mesh.n_elements >= 1_000_000
+            and not self.mesh.periodic_x
+            and not self.mesh.periodic_y
+            and ho_tiled_config(self.mesh.nx, self.mesh.ny) is not None
+        ):
+            return "tiled"
         return "xla"
 
     def step_consts(self, state: HOVelocityState, h, a, forcing, mask, dt: float):
@@ -457,6 +472,20 @@ class MEVPSolverHO:
             carry = ho_subcycles_pallas(
                 self, carry0, consts, dt, n_subcycles,
                 interpret=(choice == "single-interpret"),
+            )
+        elif choice in ("tiled", "tiled-interpret"):
+            from .kernels.mevp_ho_tiled import ho_subcycles_tiled
+
+            kwargs = {}
+            if choice == "tiled-interpret":
+                # Tiny tiles so small test grids exercise multiple tiles.
+                nx = self.mesh.nx
+                kwargs = dict(
+                    tile_x=(8 if nx % 8 == 0 else nx), halo_x=4,
+                    interpret=True,
+                )
+            carry = ho_subcycles_tiled(
+                self, carry0, consts, dt, n_subcycles, **kwargs
             )
         else:
             def subcycle(_, c):

@@ -211,3 +211,32 @@ def test_ho_pallas_interpret_matches_xla_path():
         np.testing.assert_allclose(
             np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
         )
+
+
+def test_ho_tiled_interpret_matches_xla_path():
+    """Ghost-zone tiled HO kernel (full-row tiles, 17 state + 29 const
+    planes VMEM-resident per round) == XLA path."""
+    mesh, h, a, forcing = _box(n=16)
+    xla = MEVPSolverHO(mesh, MEVPParams(use_coriolis=False), backend="xla")
+    tiled = MEVPSolverHO(
+        mesh, MEVPParams(use_coriolis=False), backend="pallas-tiled-interpret"
+    )
+    mask = xla.boundary_mask(dtype=jnp.float64)
+    state = HOVelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+
+    # 10 subcycles = 2 rounds of 4 + 1 round of 2 at halo_x=4.
+    out_xla = xla.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=10)
+    out_tiled = tiled.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=10)
+
+    import jax
+    for ax, bx in zip(
+        jax.tree.leaves(
+            (out_xla.u, out_xla.v, out_xla.s11, out_xla.s22, out_xla.s12)
+        ),
+        jax.tree.leaves(
+            (out_tiled.u, out_tiled.v, out_tiled.s11, out_tiled.s22, out_tiled.s12)
+        ),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
+        )
