@@ -214,8 +214,7 @@ class CoupledModel:
         """'tpu' | 'interpret' | None for the ghost-zone tiled transport."""
         mesh = self.mesh
         if (
-            self.is_high_order
-            or not mesh.uniform
+            not mesh.uniform
             or mesh.periodic_x
             or mesh.periodic_y
             or any(axis is not None for axis in self.spmd)
@@ -339,9 +338,15 @@ class CoupledModel:
                     # tiles; must divide nx exactly.
                     nx = self.mesh.nx
                     tile_kw = dict(tile_x=8 if nx % 8 == 0 else nx)
+                if self.is_high_order:
+                    # The CG2-sampled quadrature velocity rides the
+                    # kernel as 24 constant planes.
+                    tile_kw["qv"] = qv
+                else:
+                    tile_kw.update(u=velocity.u, v=velocity.v)
                 tracers = transport_substeps_tiled(
-                    self, tracers, velocity.u, velocity.v,
-                    dt / k.astype(dtype), k, face_masks=masks,
+                    self, tracers,
+                    dt_sub=dt / k.astype(dtype), k=k, face_masks=masks,
                     interpret=(tiled_mode == "interpret"), **tile_kw,
                 )
             elif self.auto_substeps:

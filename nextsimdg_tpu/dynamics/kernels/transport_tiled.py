@@ -58,13 +58,17 @@ def _rings_per_substep(transport) -> int:
 
 
 def transport_tiled_config(model, n_tracers: int = 3):
-    """(tile_x, halo_x, K_CAP) when the tiled transport kernel applies."""
+    """(tile_x, halo_x, K_CAP) when the tiled transport kernel applies.
+
+    Applies to the CG1 path (velocity re-sampled per tile from the u, v
+    node planes) AND the higher-order path (the caller passes the
+    CG2-sampled QuadVelocity, which rides the kernel as 24 extra
+    constant planes).
+    """
     mesh = model.mesh
     if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
         return None
     if any(axis is not None for axis in model.spmd):
-        return None
-    if model.is_high_order:
         return None
     if mesh.n_elements < 1_000_000 or mesh.ny % 128:
         return None
@@ -90,16 +94,24 @@ def transport_tiled_config(model, n_tracers: int = 3):
 def transport_substeps_tiled(
     model,  # CoupledModel (static: transport, mesh)
     tracers,  # (K, T, nx, ny) stacked DG coefficients
-    u, v,  # (nx, ny) owned-node velocity
-    dt_sub,  # traced substep length (dt / k)
-    k,  # traced int32 total substep count
+    u=None, v=None,  # (nx, ny) owned-node velocity (CG1 path)
+    dt_sub=None,  # traced substep length (dt / k)
+    k=None,  # traced int32 total substep count
     face_masks=None,  # optional (face_x, face_y) coastline masks
     interpret: bool = False,
     tile_x: int = None,
+    qv=None,  # precomputed QuadVelocity (HO path) instead of (u, v)
 ):
-    """Run k transport substeps via ghost-zone tiles; returns the tracers."""
+    """Run k transport substeps via ghost-zone tiles; returns the tracers.
+
+    Velocity enters one of two ways: ``(u, v)`` owned-node planes (the
+    CG1 path — each tile re-samples the quadrature velocity locally,
+    bit-identical to the global sampling in the valid region), or a
+    precomputed ``qv`` (the HO path — its 24 quadrature planes ride the
+    kernel as constants; the CG2 sampling stays outside).
+    """
     from ..mesh import RectMesh
-    from ..transport import DGTransport, velocity_from_cg
+    from ..transport import DGTransport, QuadVelocity, velocity_from_cg
 
     mesh = model.mesh
     cfg = transport_tiled_config(model, n_tracers=tracers.shape[1])
@@ -128,7 +140,25 @@ def transport_substeps_tiled(
     fy = fy.at[:, 0].set(0.0)
 
     pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
-    consts_stack = jnp.stack([pad2(a) for a in (u, v, fx, fy)])
+    if qv is None:
+        const_planes = [u, v, fx, fy]
+        qv_counts = None
+    else:
+        # Precomputed quadrature velocity: flatten its 4 stacks into
+        # constant planes (zero-padded rings = no flux out of domain).
+        qv_counts = (
+            qv.vx_vol.shape[0], qv.vy_vol.shape[0],
+            qv.vn_x.shape[0], qv.vn_y.shape[0],
+        )
+        const_planes = (
+            [fx, fy]
+            + [qv.vx_vol[i] for i in range(qv_counts[0])]
+            + [qv.vy_vol[i] for i in range(qv_counts[1])]
+            + [qv.vn_x[i] for i in range(qv_counts[2])]
+            + [qv.vn_y[i] for i in range(qv_counts[3])]
+        )
+    n_const = len(const_planes)
+    consts_stack = jnp.stack([pad2(a) for a in const_planes])
     states0 = jnp.stack([pad2(tracers[ki, ti]) for ki in range(K) for ti in range(T)])
 
     # Local transport operator on the widened block (closed shifts; the
@@ -173,10 +203,19 @@ def transport_substeps_tiled(
                 wall[:, None, :], (n_st, halo_x, ny)
             )
 
-        u_blk = c_scr[0]
-        v_blk = c_scr[1]
-        kmasks = (c_scr[2], c_scr[3])
-        qv = velocity_from_cg(local_mesh, local_tr.basis, u_blk, v_blk)
+        if qv_counts is None:
+            kmasks = (c_scr[2], c_scr[3])
+            kqv = velocity_from_cg(local_mesh, local_tr.basis, c_scr[0], c_scr[1])
+        else:
+            kmasks = (c_scr[0], c_scr[1])
+            o = 2
+            nvx, nvy, nnx, nny = qv_counts
+            kqv = QuadVelocity(
+                vx_vol=c_scr[o : o + nvx],
+                vy_vol=c_scr[o + nvx : o + nvx + nvy],
+                vn_x=c_scr[o + nvx + nvy : o + nvx + nvy + nnx],
+                vn_y=c_scr[o + nvx + nvy + nnx : o + nvx + nvy + nnx + nny],
+            )
         psi = s_scr[:].reshape(K, T, block_x, ny)
         dt_s = dt_ref[0]
 
@@ -202,7 +241,7 @@ def transport_substeps_tiled(
             return jnp.concatenate([lo, p[:, :, halo_x:hi_row, :], hi], axis=2)
 
         def body(_, p):
-            p = local_tr.step(p, qv, dt_s, limit=True, face_masks=kmasks)
+            p = local_tr.step(p, kqv, dt_s, limit=True, face_masks=kmasks)
             return refresh_ghosts(p)
 
         psi = jax.lax.fori_loop(0, nsub_ref[0], body, psi)
@@ -225,7 +264,7 @@ def transport_substeps_tiled(
         in_specs=[smem_spec(), smem_spec(), any_spec, any_spec],
         out_specs=any_spec,
         scratch_shapes=[
-            pltpu.VMEM((4, block_x, ny), dtype),
+            pltpu.VMEM((n_const, block_x, ny), dtype),
             pltpu.VMEM((n_st, block_x, ny), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
