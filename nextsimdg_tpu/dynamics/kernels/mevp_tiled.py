@@ -65,10 +65,32 @@ def tiled_supported(
     return nx % tile_x == 0 and ny % tile_y == 0 and nx >= tile_x and ny >= tile_y
 
 
-#: VMEM budget for auto_config: 12 scratch blocks + ~24 block-sized Mosaic
-#: stack temporaries of the subcycle body, against the raised 110 MB cap.
-_BLOCK_EQUIVALENTS = 36
+#: VMEM budget for auto_config: 2 x 12 double-buffered scratch blocks
+#: (input prefetch overlaps the previous tile's compute) + ~24 block-sized
+#: Mosaic stack temporaries of the subcycle body, against the 110 MB cap.
+_BLOCK_EQUIVALENTS = 48
 _TILED_VMEM_BUDGET = 96 * 1024 * 1024
+
+#: Overlap-aware cost model inputs (measured v5e, docs/performance.md):
+#: VPU subcycle compute ~50.5 ps/element (post shift-factoring), effective
+#: HBM DMA bandwidth ~700 GB/s.
+_COMPUTE_PS_PER_EL = 50.5
+_HBM_BYTES_PER_S = 700e9
+
+
+def _tile_cost_per_element(nx: int, ny: int, tile_x: int, halo_x: int):
+    """Estimated time per subcycle-element [ps] with input prefetch.
+
+    Per round each tile runs ``halo_x`` subcycles on its widened block;
+    the 12 input-block DMAs of tile k+1 fly behind tile k's compute, so a
+    round costs one exposed load + n_tiles x max(compute, dma).
+    """
+    block_x = tile_x + 2 * halo_x
+    comp = _COMPUTE_PS_PER_EL * block_x * ny * halo_x
+    dma = (12 * block_x + 5 * tile_x) * ny * 4 / _HBM_BYTES_PER_S * 1e12
+    n_tiles = nx // tile_x
+    per_round = dma + comp + (n_tiles - 1) * max(comp, dma)
+    return per_round / (nx * ny * halo_x)
 
 
 def auto_config(nx: int, ny: int):
@@ -76,35 +98,29 @@ def auto_config(nx: int, ny: int):
 
     Preference order (measured v5e, docs/performance.md): FULL-ROW tiles
     (tile_y = ny, halo_y = 0 — no 128-lane halo, so no lane-offset
-    constraint and no y-redundancy) with the widest tile_x and halo_x=32
-    that fit the VMEM budget; fall back to the round-1 (128, 512) tiles
-    with (8, 128) halos when rows are too long. Returns None when nothing
-    fits the alignment rules.
+    constraint and no y-redundancy), choosing the (tile_x, halo_x) pair
+    that minimizes the overlap-aware cost model under the double-buffered
+    VMEM budget; fall back to the round-1 (128, 512) tiles with (8, 128)
+    halos when rows are too long. Returns None when nothing fits the
+    alignment rules.
     """
     itemsize = 4
     budget = _TILED_VMEM_BUDGET // (_BLOCK_EQUIVALENTS * itemsize)
     best = None
     best_cost = None
     if ny % 128 == 0:
-        for halo_x in (8, 16, 32):
-            tile_x = 512
-            while tile_x >= 8:
+        for halo_x in (4, 8, 16, 32):
+            for tile_x in (512, 256, 128, 64, 32, 16, 8):
                 if (
                     nx % tile_x == 0
                     and (tile_x + 2 * halo_x) % 8 == 0
                     and (tile_x + 2 * halo_x) * ny <= budget
                 ):
-                    # Cost model per subcycle-element [arbitrary units]:
-                    # VPU compute ~53 ps/el x the x-redundancy, plus HBM
-                    # traffic of ~19 planes per round amortized over
-                    # halo_x subcycles at ~700 GB/s (~108.6 ps/el/round).
-                    redundancy = (tile_x + 2 * halo_x) / tile_x
-                    cost = redundancy * (53.0 + 108.6 / halo_x)
+                    cost = _tile_cost_per_element(nx, ny, tile_x, halo_x)
                     if best_cost is None or cost < best_cost:
                         best = (tile_x, ny, halo_x, 0)
                         best_cost = cost
                     break  # wider tiles only reduce redundancy; found max
-                tile_x //= 2
     if best is not None:
         return best
     if tiled_supported(nx, ny):
@@ -160,29 +176,53 @@ def mevp_subcycles_tiled(
     pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (halo_y, halo_y)))
     consts_stack = jnp.stack([pad2(consts[name]) for name in _CONST_NAMES])
 
-    def round_kernel(n_sub):
-        def kernel(consts_ref, states_ref, out_ref, *rest):
-            scratch = rest[:n_fields]
-            sems = rest[n_fields]
+    n_tiles = n_ti * n_tj
 
+    def round_kernel(n_sub):
+        def kernel(consts_ref, states_ref, out_ref, scratch, in_sems, out_sems):
+            # ``scratch``: (2, n_fields, block_x, block_y) — double-buffered
+            # input blocks. Tile k computes out of slot k%2 while the DMAs
+            # for tile k+1 (issued one tile earlier) land in the other
+            # slot; at the end of tile k the loads for tile k+2 are issued
+            # into the slot just vacated. This keeps the 12 halo'd block
+            # loads (the bulk of the kernel's HBM traffic) entirely behind
+            # the previous tile's subcycle compute.
             ti = pl.program_id(0)
             tj = pl.program_id(1)
-            row0 = ti * tile_x  # block origin in the PADDED array
-            col0 = tj * tile_y
-            window = (pl.ds(row0, block_x), pl.ds(col0, block_y))
+            k_lin = ti * n_tj + tj
+            slot = jax.lax.rem(k_lin, jnp.int32(2))
 
-            # Halo'd block loads: overlapping reads need manual DMA.
-            copies = []
-            for idx in range(n_fields):
-                src = (
-                    consts_ref.at[(idx,) + window]
-                    if idx < n_consts
-                    else states_ref.at[(idx - n_consts,) + window]
+            def load_dmas(t, s):
+                """The 12 block-load DMA descriptors of linear tile t."""
+                t_i = t // jnp.int32(n_tj)
+                t_j = jax.lax.rem(t, jnp.int32(n_tj))
+                window = (
+                    pl.ds(t_i * tile_x, block_x),
+                    pl.ds(t_j * tile_y, block_y),
                 )
-                dma = pltpu.make_async_copy(src, scratch[idx], sems.at[idx])
-                dma.start()
-                copies.append(dma)
-            for dma in copies:
+                dmas = []
+                for idx in range(n_fields):
+                    src = (
+                        consts_ref.at[(idx,) + window]
+                        if idx < n_consts
+                        else states_ref.at[(idx - n_consts,) + window]
+                    )
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            src, scratch.at[s, idx], in_sems.at[s, idx]
+                        )
+                    )
+                return dmas
+
+            @pl.when(k_lin == 0)
+            def _first():
+                for dma in load_dmas(jnp.int32(0), jnp.int32(0)):
+                    dma.start()
+                if n_tiles > 1:
+                    for dma in load_dmas(jnp.int32(1), jnp.int32(1)):
+                        dma.start()
+
+            for dma in load_dmas(k_lin, slot):
                 dma.wait()
 
             # Global-edge tiles: the state rings outside the domain came
@@ -200,17 +240,17 @@ def mevp_subcycles_tiled(
                     (tj == n_tj - 1, (slice(None), pl.ds(halo_y + tile_y, halo_y))),
                 ]
             for k in range(5):
-                dst = scratch[n_consts + k]
+                dst = scratch.at[slot, n_consts + k]
                 for cond, idx in zero_strips:
                     @pl.when(cond)
                     def _zero(dst=dst, idx=idx):
                         dst[idx] = jnp.zeros_like(dst[idx])
 
             kconsts = {
-                name: scratch[idx][:]
+                name: scratch[slot, idx]
                 for idx, name in enumerate(_CONST_NAMES)
             }
-            carry0 = tuple(scratch[n_consts + k][:] for k in range(5))
+            carry0 = tuple(scratch[slot, n_consts + k] for k in range(5))
 
             def body(_, carry):
                 return solver.subcycle_body(carry, kconsts, dt)
@@ -218,31 +258,45 @@ def mevp_subcycles_tiled(
             final = jax.lax.fori_loop(0, n_sub, body, carry0)
 
             # Stage the final state back into the scratch blocks, then DMA
-            # the interiors into the padded output buffer.
+            # the interiors into the padded output buffer. The blocking
+            # wait (before the next-next tile's loads reuse this slot) is
+            # ~1/6 of the load traffic — cheap enough to leave exposed.
+            row0 = ti * tile_x
+            col0 = tj * tile_y
             out_copies = []
             for k in range(5):
-                src = scratch[n_consts + k]
-                src[:] = final[k]
+                scratch[slot, n_consts + k] = final[k]
                 dma = pltpu.make_async_copy(
-                    src.at[pl.ds(halo_x, tile_x), pl.ds(halo_y, tile_y)],
+                    scratch.at[
+                        slot, n_consts + k,
+                        pl.ds(halo_x, tile_x), pl.ds(halo_y, tile_y),
+                    ],
                     out_ref.at[
                         k,
                         pl.ds(halo_x + row0, tile_x),
                         pl.ds(halo_y + col0, tile_y),
                     ],
-                    sems.at[n_consts + k],
+                    out_sems.at[k],
                 )
                 dma.start()
                 out_copies.append(dma)
             for dma in out_copies:
                 dma.wait()
 
+            if n_tiles > 2:
+                @pl.when(k_lin + 2 < n_tiles)
+                def _prefetch():
+                    for dma in load_dmas(k_lin + 2, slot):
+                        dma.start()
+
         return kernel
 
     out_shape = jax.ShapeDtypeStruct((5, pad_x, pad_y), dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    scratch_shapes = [pltpu.VMEM((block_x, block_y), dtype) for _ in range(n_fields)] + [
-        pltpu.SemaphoreType.DMA((n_fields,)),
+    scratch_shapes = [
+        pltpu.VMEM((2, n_fields, block_x, block_y), dtype),
+        pltpu.SemaphoreType.DMA((2, n_fields)),
+        pltpu.SemaphoreType.DMA((5,)),
     ]
 
     states = jnp.stack([pad2(s) for s in (u, v, s11, s22, s12)])

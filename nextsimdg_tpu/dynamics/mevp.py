@@ -262,24 +262,38 @@ class MEVPSolver:
             # s12 feeds BOTH force components; computing its three
             # neighbor shifts once (instead of once per scatter) saves 3
             # of 12 shift ops per subcycle — Mosaic does not CSE the
-            # slice+concat pairs across the two scatter calls.
+            # slice+concat pairs across the two scatter calls. The
+            # single-component scatters (s11 -> Fu, s22 -> Fv) factor the
+            # signed 2x2 corner gather through a partial sum,
+            #   (cm_y + cell) - (cm_xy + cm_x) == t - t[i-1],  t = cell + cm_y
+            # which is BIT-identical (a shift of a sum is the sum of the
+            # shifts; the adds pair the same operands) at 2 shifts instead
+            # of 3 — per subcycle the stress divergence drops from 9 plane
+            # shifts to 7 (15 -> 13 total; shifts are ~36% of the fused
+            # kernel, docs/performance.md).
             def shifts(cell):
                 cm_x = shift_m(cell, 0, px, ax_x)
                 cm_y = shift_m(cell, 1, py, ax_y)
                 cm_xy = shift_m(cm_x, 1, py, ax_y)
                 return cm_x, cm_y, cm_xy
 
-            def scatter_x(cell, sh):
+            def scatter_x(cell, sh=None):
+                if sh is None:
+                    t = cell + shift_m(cell, 1, py, ax_y)
+                    return 0.5 * dy * (t - shift_m(t, 0, px, ax_x))
                 cm_x, cm_y, cm_xy = sh
                 return 0.5 * dy * ((cm_y + cell) - (cm_xy + cm_x))
 
-            def scatter_y(cell, sh):
+            def scatter_y(cell, sh=None):
+                if sh is None:
+                    t = cell + shift_m(cell, 0, px, ax_x)
+                    return 0.5 * dx * (t - shift_m(t, 1, py, ax_y))
                 cm_x, cm_y, cm_xy = sh
                 return 0.5 * dx * ((cm_x + cell) - (cm_xy + cm_y))
 
             sh12 = shifts(s12)
-            fu = scatter_x(s11, shifts(s11)) + scatter_y(s12, sh12)
-            fv = scatter_x(s12, sh12) + scatter_y(s22, shifts(s22))
+            fu = scatter_x(s11) + scatter_y(s12, sh12)
+            fv = scatter_x(s12, sh12) + scatter_y(s22)
             return fu, fv
         else:
 
