@@ -13,10 +13,16 @@ stencil temporal blocking ("ghost zone" batching):
   VMEM, runs min(Hx, Hy) subcycles entirely on-chip — each subcycle
   invalidates one ring, so the interior T x T stays exact — and DMAs back
   only the interior;
-* tiles on the global edge zero the out-of-domain strips of their state
-  blocks in VMEM (the padded ring of a fresh output buffer is
-  uninitialized, so its contents must never be read);
-* a Python loop over ceil(n_subcycles / min(Hx,Hy)) rounds chains calls.
+* ALL ceil(n_subcycles / min(Hx,Hy)) rounds run inside ONE pallas_call
+  over a (rounds, ti, tj) grid: the padded state ping-pongs between two
+  HBM slots (round r reads slot r%2, writes slot 1-r%2), so no host
+  round-trip, re-pad, or XLA copy separates rounds. Both slots' halo
+  rings are zeroed once on entry and only interiors are ever written, so
+  the closed-boundary zeros persist for every round;
+* when the tile count allows it (statically checked against the stencil
+  reach ``needed``), input blocks of tile g+2 are prefetched across round
+  boundaries and interior write-backs are retired two tiles late, keeping
+  every DMA behind another tile's subcycle compute.
 
 HBM traffic drops from O(n_subcycles) to O(n_subcycles / H) full-state
 passes at the cost of ((T+2Hx)(T+2Hy))/T^2 redundant compute. The
@@ -66,9 +72,10 @@ def tiled_supported(
 
 
 #: VMEM budget for auto_config: 2 x 12 double-buffered scratch blocks
-#: (input prefetch overlaps the previous tile's compute) + ~24 block-sized
-#: Mosaic stack temporaries of the subcycle body, against the 110 MB cap.
-_BLOCK_EQUIVALENTS = 48
+#: (input prefetch overlaps the previous tile's compute) + 2 x 5 staging
+#: blocks for the deferred interior write-backs + ~24 block-sized Mosaic
+#: stack temporaries of the subcycle body, against the 110 MB cap.
+_BLOCK_EQUIVALENTS = 58
 _TILED_VMEM_BUDGET = 96 * 1024 * 1024
 
 #: Overlap-aware cost model inputs (measured v5e, docs/performance.md):
@@ -109,7 +116,11 @@ def auto_config(nx: int, ny: int):
     best = None
     best_cost = None
     if ny % 128 == 0:
-        for halo_x in (4, 8, 16, 32):
+        # halo_x must be a multiple of 8: interior slices start at sublane
+        # offset halo_x, and Mosaic requires dynamic sublane offsets to be
+        # provably divisible by the (8, 128) tiling (halo_x=4 compiles in
+        # interpret mode but fails Mosaic on hardware).
+        for halo_x in (8, 16, 32):
             for tile_x in (512, 256, 128, 64, 32, 16, 8):
                 if (
                     nx % tile_x == 0
@@ -162,6 +173,13 @@ def mevp_subcycles_tiled(
         raise ValueError("halo_x=0 requires tile_x == nx")
     if halo_y == 0 and n_tj != 1:
         raise ValueError("halo_y=0 requires tile_y == ny")
+    if not interpret:
+        # Mosaic alignment: every VMEM/HBM slice offset (halo_x,
+        # halo_x + t_i*tile_x) must be divisible by the (8, 128) tiling.
+        if halo_x % 8 or (n_ti > 1 and tile_x % 8):
+            raise ValueError(f"halo_x/tile_x ({halo_x}/{tile_x}) not 8-aligned")
+        if halo_y % 128 or (n_tj > 1 and tile_y % 128):
+            raise ValueError(f"halo_y/tile_y ({halo_y}/{tile_y}) not 128-aligned")
     block_x = tile_x + 2 * halo_x
     block_y = tile_y + 2 * halo_y
     sub_per_round = min(h for h in (halo_x, halo_y) if h > 0)
@@ -177,150 +195,203 @@ def mevp_subcycles_tiled(
     consts_stack = jnp.stack([pad2(consts[name]) for name in _CONST_NAMES])
 
     n_tiles = n_ti * n_tj
+    n_rounds = -(-n_subcycles // sub_per_round)
+    total = n_rounds * n_tiles
+    # Cross-round prefetch / deferred-output-wait feasibility (static).
+    # A tile of round r+1 reads interiors written by round-r tiles up to
+    # linear offset ``needed`` ahead of its own index; the prefetch for
+    # tile g+2 is issued at tile g, and with deferred waits a write is
+    # only KNOWN complete two tiles after it started.
+    needed = n_tj + (1 if (halo_y and n_tj > 1) else 0)
+    defer_out = (n_tiles - 2) >= needed + 2
+    cross_prefetch = (n_tiles - 2) >= needed
 
-    def round_kernel(n_sub):
-        def kernel(consts_ref, states_ref, out_ref, scratch, in_sems, out_sems):
-            # ``scratch``: (2, n_fields, block_x, block_y) — double-buffered
-            # input blocks. Tile k computes out of slot k%2 while the DMAs
-            # for tile k+1 (issued one tile earlier) land in the other
-            # slot; at the end of tile k the loads for tile k+2 are issued
-            # into the slot just vacated. This keeps the 12 halo'd block
-            # loads (the bulk of the kernel's HBM traffic) entirely behind
-            # the previous tile's subcycle compute.
-            ti = pl.program_id(0)
-            tj = pl.program_id(1)
-            k_lin = ti * n_tj + tj
-            slot = jax.lax.rem(k_lin, jnp.int32(2))
+    def kernel(consts_ref, states_in, states_io, scratch, staging, in_sems, out_sems):
+        # ``scratch``: (2, n_fields, block_x, block_y) — double-buffered
+        # input blocks. Tile k computes out of slot k%2 while the DMAs
+        # for tile k+1 (issued one tile earlier) land in the other
+        # slot; at the end of tile k the loads for tile k+2 are issued
+        # into the slot just vacated. This keeps the 12 halo'd block
+        # loads (the bulk of the kernel's HBM traffic) entirely behind
+        # the previous tile's subcycle compute.
+        r = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        t_lin = ti * n_tj + tj
+        g = r * n_tiles + t_lin  # global tile index over all rounds
+        slot = jax.lax.rem(g, jnp.int32(2))
 
-            def load_dmas(t, s):
-                """The 12 block-load DMA descriptors of linear tile t."""
-                t_i = t // jnp.int32(n_tj)
-                t_j = jax.lax.rem(t, jnp.int32(n_tj))
-                window = (
-                    pl.ds(t_i * tile_x, block_x),
-                    pl.ds(t_j * tile_y, block_y),
+        def src_slot_of(gg):
+            return jax.lax.rem(gg // jnp.int32(n_tiles), jnp.int32(2))
+
+        def load_dmas(gg, s):
+            """The 12 block-load DMA descriptors of global tile gg."""
+            t = jax.lax.rem(gg, jnp.int32(n_tiles))
+            t_i = t // jnp.int32(n_tj)
+            t_j = jax.lax.rem(t, jnp.int32(n_tj))
+            window = (
+                pl.ds(t_i * tile_x, block_x),
+                pl.ds(t_j * tile_y, block_y),
+            )
+            ss = src_slot_of(gg)
+            dmas = []
+            for idx in range(n_fields):
+                src = (
+                    consts_ref.at[(idx,) + window]
+                    if idx < n_consts
+                    else states_io.at[(ss, idx - n_consts) + window]
                 )
-                dmas = []
-                for idx in range(n_fields):
-                    src = (
-                        consts_ref.at[(idx,) + window]
-                        if idx < n_consts
-                        else states_ref.at[(idx - n_consts,) + window]
+                dmas.append(
+                    pltpu.make_async_copy(
+                        src, scratch.at[s, idx], in_sems.at[s, idx]
                     )
-                    dmas.append(
-                        pltpu.make_async_copy(
-                            src, scratch.at[s, idx], in_sems.at[s, idx]
-                        )
-                    )
-                return dmas
-
-            @pl.when(k_lin == 0)
-            def _first():
-                for dma in load_dmas(jnp.int32(0), jnp.int32(0)):
-                    dma.start()
-                if n_tiles > 1:
-                    for dma in load_dmas(jnp.int32(1), jnp.int32(1)):
-                        dma.start()
-
-            for dma in load_dmas(k_lin, slot):
-                dma.wait()
-
-            # Global-edge tiles: the state rings outside the domain came
-            # from an uninitialized output buffer of the previous round —
-            # zero them in VMEM (this IS the closed boundary condition).
-            zero_strips = []
-            if halo_x:
-                zero_strips += [
-                    (ti == 0, (pl.ds(0, halo_x), slice(None))),
-                    (ti == n_ti - 1, (pl.ds(halo_x + tile_x, halo_x), slice(None))),
-                ]
-            if halo_y:
-                zero_strips += [
-                    (tj == 0, (slice(None), pl.ds(0, halo_y))),
-                    (tj == n_tj - 1, (slice(None), pl.ds(halo_y + tile_y, halo_y))),
-                ]
-            for k in range(5):
-                dst = scratch.at[slot, n_consts + k]
-                for cond, idx in zero_strips:
-                    @pl.when(cond)
-                    def _zero(dst=dst, idx=idx):
-                        dst[idx] = jnp.zeros_like(dst[idx])
-
-            kconsts = {
-                name: scratch[slot, idx]
-                for idx, name in enumerate(_CONST_NAMES)
-            }
-            carry0 = tuple(scratch[slot, n_consts + k] for k in range(5))
-
-            def body(_, carry):
-                return solver.subcycle_body(carry, kconsts, dt)
-
-            final = jax.lax.fori_loop(0, n_sub, body, carry0)
-
-            # Stage the final state back into the scratch blocks, then DMA
-            # the interiors into the padded output buffer. The blocking
-            # wait (before the next-next tile's loads reuse this slot) is
-            # ~1/6 of the load traffic — cheap enough to leave exposed.
-            row0 = ti * tile_x
-            col0 = tj * tile_y
-            out_copies = []
-            for k in range(5):
-                scratch[slot, n_consts + k] = final[k]
-                dma = pltpu.make_async_copy(
-                    scratch.at[
-                        slot, n_consts + k,
-                        pl.ds(halo_x, tile_x), pl.ds(halo_y, tile_y),
-                    ],
-                    out_ref.at[
-                        k,
-                        pl.ds(halo_x + row0, tile_x),
-                        pl.ds(halo_y + col0, tile_y),
-                    ],
-                    out_sems.at[k],
                 )
+            return dmas
+
+        def out_dmas(gg):
+            """The 5 interior write-back DMA descriptors of tile gg."""
+            t = jax.lax.rem(gg, jnp.int32(n_tiles))
+            t_i = t // jnp.int32(n_tj)
+            t_j = jax.lax.rem(t, jnp.int32(n_tj))
+            s = jax.lax.rem(gg, jnp.int32(2))
+            ds = 1 - src_slot_of(gg)  # write the OTHER state slot
+            dmas = []
+            for k in range(5):
+                dmas.append(
+                    pltpu.make_async_copy(
+                        staging.at[
+                            s, k,
+                            pl.ds(halo_x, tile_x), pl.ds(halo_y, tile_y),
+                        ],
+                        states_io.at[
+                            ds, k,
+                            pl.ds(halo_x + t_i * tile_x, tile_x),
+                            pl.ds(halo_y + t_j * tile_y, tile_y),
+                        ],
+                        out_sems.at[s, k],
+                    )
+                )
+            return dmas
+
+        @pl.when(g == 0)
+        def _first():
+            for dma in load_dmas(jnp.int32(0), jnp.int32(0)):
                 dma.start()
-                out_copies.append(dma)
-            for dma in out_copies:
+            if n_tiles > 1:
+                for dma in load_dmas(jnp.int32(1), jnp.int32(1)):
+                    dma.start()
+
+        if not cross_prefetch:
+            # Round-leading tiles get no cross-round prefetch: each of
+            # the first two tiles of a later round starts its OWN loads
+            # (exposed) right before waiting. Safe because without
+            # cross_prefetch there is no defer_out either, so all of
+            # the previous round's interior writes were waited inline.
+            @pl.when((r > 0) & (t_lin < min(2, n_tiles)))
+            def _self_start():
+                for dma in load_dmas(g, slot):
+                    dma.start()
+
+        for dma in load_dmas(g, slot):
+            dma.wait()
+
+        # The state rings of BOTH slots were zeroed on entry and only
+        # interiors are ever written back, so the closed-boundary
+        # zero halos persist for the whole subcycle loop — no
+        # in-kernel edge-strip zeroing is needed.
+        kconsts = {
+            name: scratch[slot, idx]
+            for idx, name in enumerate(_CONST_NAMES)
+        }
+        carry0 = tuple(scratch[slot, n_consts + k] for k in range(5))
+
+        # Last round may run fewer subcycles (the remainder).
+        n_sub = jnp.minimum(
+            jnp.int32(sub_per_round),
+            jnp.int32(n_subcycles) - r * jnp.int32(sub_per_round),
+        )
+
+        def body(_, carry):
+            return solver.subcycle_body(carry, kconsts, dt)
+
+        final = jax.lax.fori_loop(0, n_sub, body, carry0)
+
+        # Retire the out-DMAs whose staging slot this tile reuses.
+        if defer_out:
+            if total > 2:
+                @pl.when(g >= 2)
+                def _retire():
+                    for dma in out_dmas(g - 2):
+                        dma.wait()
+
+        # Stage the final state, then DMA the interiors into the
+        # destination state slot.
+        for k in range(5):
+            staging[slot, k] = final[k]
+        started = out_dmas(g)
+        for dma in started:
+            dma.start()
+        if not defer_out:
+            for dma in started:
                 dma.wait()
 
-            if n_tiles > 2:
-                @pl.when(k_lin + 2 < n_tiles)
+        # Prefetch the loads of tile g+2 into the slot this tile just
+        # vacated; they fly behind tile g+1's subcycle compute.
+        if cross_prefetch:
+            if total > 2:
+                @pl.when(g + 2 < total)
                 def _prefetch():
-                    for dma in load_dmas(k_lin + 2, slot):
+                    for dma in load_dmas(g + 2, slot):
                         dma.start()
+        elif n_tiles > 2:
+            @pl.when(t_lin + 2 < n_tiles)
+            def _prefetch_round():
+                for dma in load_dmas(g + 2, slot):
+                    dma.start()
 
-        return kernel
+        if defer_out:
+            @pl.when(g == total - 1)
+            def _drain():
+                for dma in out_dmas(g):
+                    dma.wait()
+                if total > 1:
+                    for dma in out_dmas(g - 1):
+                        dma.wait()
 
-    out_shape = jax.ShapeDtypeStruct((5, pad_x, pad_y), dtype)
+    out_shape = jax.ShapeDtypeStruct((2, 5, pad_x, pad_y), dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch_shapes = [
         pltpu.VMEM((2, n_fields, block_x, block_y), dtype),
+        pltpu.VMEM((2, 5, block_x, block_y), dtype),
         pltpu.SemaphoreType.DMA((2, n_fields)),
-        pltpu.SemaphoreType.DMA((5,)),
+        pltpu.SemaphoreType.DMA((2, 5)),
     ]
 
-    states = jnp.stack([pad2(s) for s in (u, v, s11, s22, s12)])
-    remaining = n_subcycles
-    while remaining > 0:
-        n_sub = min(sub_per_round, remaining)
-        remaining -= n_sub
-        states = pl.pallas_call(
-            round_kernel(n_sub),
-            grid=(n_ti, n_tj),
-            out_shape=out_shape,
-            in_specs=[any_spec, any_spec],
-            out_specs=any_spec,
-            scratch_shapes=scratch_shapes,
-            # Raised scoped-VMEM cap (the Mosaic default is 16 MB; the
-            # kernel is its core's only tenant): scratch blocks + the
-            # ~24 block-sized loop temporaries budget against this.
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024
-            ),
-            # NO input/output aliasing: tiles run sequentially and later
-            # tiles read halo strips from their neighbors' PRE-round
-            # interiors — in-place writes would corrupt those reads.
-            interpret=interpret,
-        )(consts_stack, states)
+    # Ping-pong state buffer: slot 0 holds the padded initial state; round
+    # r reads slot r%2 and writes slot 1-r%2. Both slots' halo rings are
+    # zero (the closed walls) and stay zero: the kernel writes interiors
+    # only, and the buffer is ALIASED in/out so rounds run in place.
+    states = jnp.zeros((2, 5, pad_x, pad_y), dtype)
+    states = states.at[
+        0, :, halo_x : halo_x + nx, halo_y : halo_y + ny
+    ].set(jnp.stack([u, v, s11, s22, s12]))
+    states = pl.pallas_call(
+        kernel,
+        grid=(n_rounds, n_ti, n_tj),
+        out_shape=out_shape,
+        in_specs=[any_spec, any_spec],
+        out_specs=any_spec,
+        input_output_aliases={1: 0},
+        scratch_shapes=scratch_shapes,
+        # Raised scoped-VMEM cap (the Mosaic default is 16 MB; the
+        # kernel is its core's only tenant): double-buffered scratch +
+        # staging blocks + the ~24 block-sized loop temporaries budget
+        # against this.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(consts_stack, states)
     interior = (slice(halo_x, halo_x + nx), slice(halo_y, halo_y + ny))
-    return tuple(states[(k,) + interior] for k in range(5))
+    final_slot = n_rounds % 2
+    return tuple(states[(final_slot, k) + interior] for k in range(5))
