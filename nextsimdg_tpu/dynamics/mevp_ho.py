@@ -166,14 +166,24 @@ class MEVPSolverHO:
         self,
         mesh: RectMesh,
         params: MEVPParams = MEVPParams(),
-        backend: str = "auto",  # 'auto' | 'xla' | 'pallas[-interpret]'
+        backend: str = "auto",  # 'auto' | 'xla' | 'pallas[-interpret]' | 'blocked[-interpret]'
         spmd=(None, None),
-        block_halo: int = 16,  # interface parity; unused
+        block_halo: int = 16,  # ghost-zone width of the blocked exchange
     ) -> None:
+        """Under shard_map (``spmd`` set) ``backend='blocked'`` widens the
+        local block by ``block_halo`` ghost cells once per ``block_halo``
+        subcycles (one ppermute pair per axis per round) and runs the
+        fused/tiled HO Pallas kernels on the widened block — the same
+        temporally-blocked exchange as ``MEVPSolver._blocked_subcycles``;
+        each HO subcycle's gather(+1)/scatter(-1) pair invalidates exactly
+        one ghost ring, so the owned interior stays exactly equal to the
+        per-subcycle-exchange result. 'auto' under shard_map selects
+        'blocked' on TPU for uniform meshes."""
         self.mesh = mesh
         self.params = params
         self.backend = backend
         self.spmd = tuple(spmd)
+        self.block_halo = int(block_halo)
         self.tables = cg2_tables()
 
     # -- plane <-> local-node machinery --------------------------------------
@@ -278,24 +288,63 @@ class MEVPSolverHO:
         )
 
     def boundary_mask(self, dtype=jnp.float32):
-        """Per-plane no-slip masks (1 interior, 0 wall)."""
+        """Per-plane no-slip masks (1 interior, 0 wall).
+
+        Inside shard_map only the GLOBAL first block's edge row/col is a
+        wall (traced via the device's mesh coordinates, cf.
+        ``MEVPSolver.boundary_mask``)."""
         nx, ny = self.mesh.nx, self.mesh.ny
+        ax_x, ax_y = self.spmd
+        if ax_x is None and ax_y is None:
+            masks = {}
+            for name in PLANES:
+                mask = np.ones((nx, ny))
+                on_x0 = name in ("v", "l")  # nodes with x = 0
+                on_y0 = name in ("v", "b")  # nodes with y = 0
+                if not self.mesh.periodic_x and on_x0:
+                    mask[0, :] = 0.0
+                if not self.mesh.periodic_y and on_y0:
+                    mask[:, 0] = 0.0
+                masks[name] = jnp.asarray(mask, dtype=dtype)
+            return HOField(**masks)
+
+        from .stencil import is_global_edge
+
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0) == 0
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1) == 0
         masks = {}
         for name in PLANES:
-            mask = np.ones((nx, ny))
-            on_x0 = name in ("v", "l")  # nodes with x = 0
-            on_y0 = name in ("v", "b")  # nodes with y = 0
-            if not self.mesh.periodic_x and on_x0:
-                mask[0, :] = 0.0
-            if not self.mesh.periodic_y and on_y0:
-                mask[:, 0] = 0.0
-            masks[name] = jnp.asarray(mask, dtype=dtype)
+            mask = jnp.ones((nx, ny), dtype=dtype)
+            if not self.mesh.periodic_x and name in ("v", "l"):
+                mask = jnp.where(row0 & is_global_edge(ax_x, "first"), 0.0, mask)
+            if not self.mesh.periodic_y and name in ("v", "b"):
+                mask = jnp.where(col0 & is_global_edge(ax_y, "first"), 0.0, mask)
+            masks[name] = mask
         return HOField(**masks)
 
     # -- the mEVP iteration --------------------------------------------------
     def _kernel_choice(self) -> str:
-        """'single[-interpret]' (fused VMEM-resident Pallas) or 'xla'."""
+        """'single[-interpret]' (fused VMEM-resident Pallas), 'tiled',
+        'blocked' (shard_map ghost zones) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
+            if self.backend in ("blocked", "blocked-interpret"):
+                if not self.mesh.uniform:
+                    raise NotImplementedError(
+                        "blocked halo exchange requires a uniform local mesh"
+                    )
+                return "blocked"
+            if (
+                self.backend == "auto"
+                and self.mesh.uniform
+                and jax.default_backend() == "tpu"
+                and min(self.mesh.nx, self.mesh.ny) >= self.block_halo
+            ):
+                # Multi-chip default on TPU: ghost-zone halo rounds whose
+                # widened local solve runs the fused/tiled HO Pallas
+                # kernels (the per-subcycle width-1 ppermute path
+                # re-streams all 46 planes from HBM every subcycle).
+                return "blocked"
+            # Per-subcycle width-1 ppermute halos on the XLA path.
             return "xla"
         if not self.mesh.uniform:
             # Graded meshes carry (nx, ny) metric arrays that the traced
@@ -452,6 +501,97 @@ class MEVPSolverHO:
         v_new = HOField(**{k: uv[k][1] for k in PLANES})
         return (u_new, v_new, s11, s22, s12)
 
+    def _blocked_inner_engine(self, nxw: int, nyw: int) -> str:
+        """Kernel for the widened local block of the blocked exchange.
+
+        'single[-interpret]' = the fused VMEM-resident HO kernel
+        (``mevp_ho_pallas``); 'tiled' when the widened block exceeds VMEM
+        but the full-row HO tiles fit; 'xla' otherwise (and on non-TPU
+        backends, except when testing via 'blocked-interpret')."""
+        if self.backend == "blocked-interpret":
+            return "single-interpret"
+        if jax.default_backend() != "tpu":
+            return "xla"
+        from .kernels.mevp_ho_pallas import ho_pallas_supported
+
+        if ho_pallas_supported(nxw, nyw):
+            return "single"
+        from .kernels.mevp_ho_tiled import ho_tiled_config
+
+        if nxw * nyw >= 1_000_000 and ho_tiled_config(nxw, nyw) is not None:
+            return "tiled"
+        return "xla"
+
+    def _blocked_subcycles(self, carry0, consts, dt, n_subcycles):
+        """Ghost-zone ("temporally blocked") halo exchange under shard_map.
+
+        The HO analogue of ``MEVPSolver._blocked_subcycles``
+        (mevp.py:445-515): widen all 17 state planes (4+4 CG2 velocity,
+        3x3 dG1 stress coefficients) and the 29 constant planes by H ghost
+        cells from the neighbor devices (ONE ppermute pair per axis), run
+        H subcycles on the widened local block with plain closed-boundary
+        shifts, keep the interior, repeat. Per subcycle the gather_local
+        (+1 shifts) / scatter_local (-1 shifts) pair invalidates exactly
+        one ghost ring, so the interior stays EXACTLY equal to the
+        per-subcycle-exchange result; ghost stresses beyond a global wall
+        only feed the wall-masked v/l/b planes (Dirichlet), as in CG1.
+        """
+        from .stencil import halo_widen
+
+        h = self.block_halo
+        nx, ny = self.mesh.nx, self.mesh.ny
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        ax_x, ax_y = self.spmd
+
+        def widen(f):
+            # Widen the trailing (nx, ny) dims (the stress stacks carry a
+            # leading dG1-dof axis).
+            f = halo_widen(f, h, f.ndim - 2, px, ax_x)
+            return halo_widen(f, h, f.ndim - 1, py, ax_y)
+
+        # A local solver on the widened block: closed shifts, no spmd.
+        local = MEVPSolverHO(
+            RectMesh(
+                nx=nx + 2 * h, ny=ny + 2 * h,
+                dx=self.mesh.dx, dy=self.mesh.dy,
+            ),
+            self.params,
+            backend="xla",
+        )
+        consts_w = {name: widen(value) for name, value in consts.items()}
+        engine = self._blocked_inner_engine(nx + 2 * h, ny + 2 * h)
+
+        def round_body(carry, n_sub):
+            padded = jax.tree.map(widen, carry)
+
+            if engine in ("single", "single-interpret"):
+                from .kernels.mevp_ho_pallas import ho_subcycles_pallas
+
+                padded = ho_subcycles_pallas(
+                    local, padded, consts_w, dt, n_sub,
+                    interpret=(engine == "single-interpret"),
+                )
+            elif engine == "tiled":
+                from .kernels.mevp_ho_tiled import ho_subcycles_tiled
+
+                padded = ho_subcycles_tiled(local, padded, consts_w, dt, n_sub)
+            else:
+                def sub(_, c):
+                    return local.subcycle_body(c, consts_w, dt)
+
+                padded = jax.lax.fori_loop(0, n_sub, sub, padded)
+            return jax.tree.map(
+                lambda f: f[..., h : h + nx, h : h + ny], padded
+            )
+
+        carry = carry0
+        remaining = n_subcycles
+        while remaining > 0:
+            n_sub = min(h, remaining)
+            remaining -= n_sub
+            carry = round_body(carry, n_sub)
+        return carry
+
     @partial(jax.jit, static_argnames=("self", "dt", "n_subcycles"))
     def step(
         self,
@@ -487,6 +627,8 @@ class MEVPSolverHO:
             carry = ho_subcycles_tiled(
                 self, carry0, consts, dt, n_subcycles, **kwargs
             )
+        elif choice == "blocked":
+            carry = self._blocked_subcycles(carry0, consts, dt, n_subcycles)
         else:
             def subcycle(_, c):
                 return self.subcycle_body(c, consts, dt)

@@ -139,6 +139,110 @@ def test_blocked_halo_exchange_matches_per_subcycle():
             )
 
 
+def test_ho_blocked_halo_exchange_matches_per_subcycle():
+    """Higher-order (CG2/dG1) solver under shard_map: the per-subcycle
+    ppermute 'xla' path AND the ghost-zone 'blocked' path (whose widened
+    local solve runs the fused HO Pallas kernel in interpret mode) must
+    reproduce the single-device result exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from nextsimdg_tpu.dynamics.mevp import MEVPParams
+    from nextsimdg_tpu.dynamics.mevp_ho import (
+        HODynamicsForcing,
+        HOField,
+        HOVelocityState,
+        MEVPSolverHO,
+    )
+
+    n = 32
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    const = lambda v: HOField(v=full(v), b=full(v), l=full(v), c=full(v))
+    df = HODynamicsForcing(
+        u_atm=const(10.0), v_atm=const(3.0),
+        u_ocean=const(0.02), v_ocean=const(0.0),
+    )
+    state = HOVelocityState.zeros(n, n, dtype)
+
+    # Reference: single-device XLA run on the global mesh.
+    ref = MEVPSolverHO(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    px, py = device_mesh.devices.shape
+    local = RectMesh(nx=n // px, ny=n // py, dx=mesh.dx, dy=mesh.dy)
+
+    def spec_of(leaf):
+        nd = np.ndim(leaf)
+        return P(*([None] * (nd - 2) + ["X", "Y"]))
+
+    for backend, halo in (
+        ("xla", None),
+        ("blocked", 4),
+        ("blocked", 7),
+        # Ghost-zone rounds whose local solve runs the fused HO Pallas
+        # kernel (interpret mode on the CPU mesh): the multi-chip HO path.
+        ("blocked-interpret", 5),
+    ):
+        kwargs = {} if halo is None else {"block_halo": halo}
+        solver = MEVPSolverHO(
+            local, MEVPParams(), backend=backend, spmd=("X", "Y"), **kwargs
+        )
+
+        def step_local(s, hh, aa, d):
+            mask = solver.boundary_mask(dtype)
+            return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+        got = jax.jit(
+            jax.shard_map(
+                step_local,
+                mesh=device_mesh,
+                in_specs=(
+                    jax.tree.map(spec_of, state),
+                    P("X", "Y"), P("X", "Y"), jax.tree.map(spec_of, df),
+                ),
+                out_specs=jax.tree.map(spec_of, state),
+                check_vma=False,
+            )
+        )(state, h, a, df)
+        for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13,
+                err_msg=f"{backend} halo={halo}",
+            )
+
+
+def test_shardmap_ho_coupled_step_matches_single_device():
+    """Full coupled step with the higher-order dynamics selected, under
+    the 8-device mesh (both the per-subcycle 'xla' and the ghost-zone
+    'blocked-interpret' mEVP backends)."""
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    ModuleRegistry.get_loader().set_implementation(
+        "Nextsim::IDynamics", "Nextsim::MEVPHighOrder"
+    )
+    mesh, ref_model, state, pf, df = global_setup(n=16)
+    assert ref_model.is_high_order
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    for backend_kwargs in (
+        {},
+        {"mevp_backend": "blocked-interpret", "mevp_block_halo": 4},
+    ):
+        _, sharded_step = build_sharded_coupled_model(
+            mesh, device_mesh, degree=1, n_subcycles=10, **backend_kwargs
+        )
+        got = sharded_step(state, pf, df, 600.0)
+        for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11,
+                err_msg=f"{backend_kwargs}",
+            )
+
+
 def test_rdma_halo_exchange_matches_per_subcycle():
     """backend='rdma-interpret' (in-kernel make_async_remote_copy halo
     exchange overlapped with the interior pass, simulated by the TPU
