@@ -211,23 +211,34 @@ class CoupledModel:
         return None
 
     def _tiled_transport_mode(self):
-        """'tpu' | 'interpret' | None for the ghost-zone tiled transport."""
+        """'tpu[-spmd]' | 'interpret[-spmd]' | None for the tiled transport.
+
+        Under shard_map the '-spmd' modes run the blocked exchange wrapper
+        (``transport_substeps_tiled_spmd``): one ppermute pair per axis
+        per (H-1)//rings substeps, the single-chip tiled kernel on the
+        widened block. TVB configs fall back to the staged spmd path
+        (see transport_tiled_spmd_config)."""
         mesh = self.mesh
-        if (
-            not mesh.uniform
-            or mesh.periodic_x
-            or mesh.periodic_y
-            or any(axis is not None for axis in self.spmd)
-        ):
+        if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
+            return None
+        spmd = any(axis is not None for axis in self.spmd)
+        if spmd and self.transport.tvb_m is not None:
             return None
         if self.transport_backend == "tiled-interpret":
-            return "interpret"
+            return "interpret-spmd" if spmd else "interpret"
         if self.transport_backend != "auto":
             return None
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
             return None
+        if spmd:
+            from .dynamics.kernels.transport_tiled import (
+                transport_tiled_spmd_config,
+            )
+
+            cfg = transport_tiled_spmd_config(self)
+            return "tpu-spmd" if cfg is not None else None
         from .dynamics.kernels.transport_tiled import transport_tiled_config
 
         return "tpu" if transport_tiled_config(self) is not None else None
@@ -338,17 +349,38 @@ class CoupledModel:
                     # tiles; must divide nx exactly.
                     nx = self.mesh.nx
                     tile_kw = dict(tile_x=8 if nx % 8 == 0 else nx)
+                elif tiled_mode == "interpret-spmd":
+                    # Small exchange halo + tiles dividing the widened
+                    # local block, so tiny test grids chain rounds.
+                    nx_w = self.mesh.nx + 2 * 4
+                    tile_kw = dict(
+                        H=4,
+                        tile_x=next(
+                            t for t in (8, 4, 2, nx_w) if nx_w % t == 0
+                        ),
+                    )
                 if self.is_high_order:
                     # The CG2-sampled quadrature velocity rides the
                     # kernel as 24 constant planes.
                     tile_kw["qv"] = qv
                 else:
                     tile_kw.update(u=velocity.u, v=velocity.v)
-                tracers = transport_substeps_tiled(
-                    self, tracers,
-                    dt_sub=dt / k.astype(dtype), k=k, face_masks=masks,
-                    interpret=(tiled_mode == "interpret"), **tile_kw,
-                )
+                if tiled_mode.endswith("-spmd"):
+                    from .dynamics.kernels.transport_tiled import (
+                        transport_substeps_tiled_spmd,
+                    )
+
+                    tracers = transport_substeps_tiled_spmd(
+                        self, tracers,
+                        dt_sub=dt / k.astype(dtype), k=k, face_masks=masks,
+                        interpret=(tiled_mode == "interpret-spmd"), **tile_kw,
+                    )
+                else:
+                    tracers = transport_substeps_tiled(
+                        self, tracers,
+                        dt_sub=dt / k.astype(dtype), k=k, face_masks=masks,
+                        interpret=(tiled_mode == "interpret"), **tile_kw,
+                    )
             elif self.auto_substeps:
                 # CFL-adaptive substep count (traced; fori_loop lowers to a
                 # dynamic-trip-count while_loop). transport_substeps = floor.

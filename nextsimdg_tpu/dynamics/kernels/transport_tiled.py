@@ -63,7 +63,8 @@ def transport_tiled_config(model, n_tracers: int = 3):
     Applies to the CG1 path (velocity re-sampled per tile from the u, v
     node planes) AND the higher-order path (the caller passes the
     CG2-sampled QuadVelocity, which rides the kernel as 24 extra
-    constant planes).
+    constant planes). Under shard_map use ``transport_tiled_spmd_config``
+    + ``transport_substeps_tiled_spmd`` instead.
     """
     mesh = model.mesh
     if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
@@ -287,3 +288,165 @@ def transport_substeps_tiled(
     )
     interior = states[:, halo_x : halo_x + nx, :]
     return interior.reshape(K, T, nx, ny)
+
+
+def transport_tiled_spmd_config(model, n_tracers: int = 3, min_local: int = 65536):
+    """(H, k_cap, tile_x) for the blocked shard_map wrapper, or None.
+
+    ``H`` is the exchange-round ghost width (one ppermute pair per axis
+    buys ``k_cap = (H - 1) // rings`` transport substeps run locally on
+    the widened block by the single-chip tiled kernel), ``tile_x`` the
+    kernel tile on the WIDENED block. TVB is excluded: its zero-gradient
+    wall ghosts must track the evolving wall mean every substep, which
+    the kernel can only do at ITS block edges, not at a global wall
+    sitting H rows inside the widened block — the staged spmd path
+    handles TVB configs.
+    """
+    mesh = model.mesh  # the per-device LOCAL block
+    tr = model.transport
+    if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
+        return None
+    if not any(axis is not None for axis in model.spmd):
+        return None
+    if tr.tvb_m is not None:
+        return None
+    if mesh.n_elements < min_local:
+        return None
+    rings = _rings_per_substep(tr)
+    n_dofs = tr.basis.n_dofs
+    planes = 4 + 24 + 10 * n_dofs * n_tracers + 12
+    budget = _VMEM_BUDGET // (planes * 4)
+    # H: sublane-aligned; larger H amortizes the exchange over more
+    # substeps at ((n+2H)/n)^2 redundancy — with k rarely above ~8 the
+    # smallest feasible H wins. The lane extent is zero-padded up to a
+    # 128 multiple inside the wrapper (Mosaic full-slice alignment), so
+    # only the VMEM budget sees it here.
+    for H in (8, 16, 24, 32):
+        if (H - 1) // rings < 1 or 2 * H >= min(mesh.nx, mesh.ny):
+            continue
+        nx_w = mesh.nx + 2 * H
+        ny_w = mesh.ny + 2 * H
+        ny_w += (-ny_w) % 128  # lane pad applied by the wrapper
+        for tile_x in (512, 384, 256, 192, 128, 96, 64, 48, 32, 24, 16, 8):
+            if (
+                nx_w % tile_x == 0
+                and tile_x % 8 == 0
+                and (tile_x + 2 * _HALO_X) * ny_w <= budget
+            ):
+                return H, (H - 1) // rings, tile_x
+    return None
+
+
+def transport_substeps_tiled_spmd(
+    model,  # CoupledModel on the LOCAL block (spmd axes set)
+    tracers,  # (K, T, nx, ny) LOCAL stacked DG coefficients
+    u=None, v=None,  # (nx, ny) owned-node velocity (CG1 path)
+    dt_sub=None,  # traced substep length (dt / k)
+    k=None,  # traced int32 total substep count (globally agreed via pmax)
+    face_masks=None,  # optional LOCAL (face_x, face_y) coastline masks
+    interpret: bool = False,
+    H: int = None, tile_x: int = None,  # test overrides
+    qv=None,  # precomputed QuadVelocity (HO path)
+):
+    """Ghost-zone tiled transport under shard_map.
+
+    Per exchange round: widen the tracers + velocity + face masks by H
+    ghost cells from the neighbor devices (ONE ppermute pair per axis),
+    run ``k_cap = (H-1)//rings`` substeps on the widened block with the
+    single-chip tiled kernel (closed local boundaries — the exchange
+    already supplied neighbor data; each substep invalidates ``rings``
+    ghost rings plus one block-edge velocity ring once), keep the
+    interior, repeat until the traced ``k`` is exhausted. Global walls:
+    the wall-face zeroing is baked into the face masks BEFORE widening
+    (the staged path's iota select, traced per device), and the widened
+    strips beyond a global wall are zeros with zero velocity/masks — no
+    flux ever crosses, exactly the staged closed treatment.
+    """
+    from types import SimpleNamespace
+
+    from ..mesh import RectMesh
+    from ..stencil import halo_widen, is_global_edge
+    from ..transport import DGTransport, QuadVelocity
+
+    mesh = model.mesh
+    tr = model.transport
+    ax_x, ax_y = model.spmd
+    px, py = mesh.periodic_x, mesh.periodic_y
+    nx, ny = mesh.nx, mesh.ny
+    dtype = tracers.dtype
+    if H is None:
+        cfg = transport_tiled_spmd_config(model, n_tracers=tracers.shape[1])
+        H, k_cap, tile_x = cfg
+    else:
+        rings = _rings_per_substep(tr)
+        k_cap = (H - 1) // rings
+    if k_cap < 1:
+        raise ValueError(f"exchange halo H={H} too small for {tr.scheme}")
+
+    # Mosaic DMA alignment: full-extent lane slices must be 128-aligned
+    # on hardware (observed: "Slice shape along dimension 2 must be
+    # aligned to tiling (128), but is 1040"). Zero-pad the widened lane
+    # extent up to the next 128 multiple; the pad sits BEYOND the real
+    # ghost strips where the zero-padded face masks already enforce the
+    # closed-wall treatment, so it is numerically inert.
+    lane_pad = 0 if interpret else (-(ny + 2 * H)) % 128
+
+    def widen(f):
+        f = halo_widen(f, H, f.ndim - 2, px, ax_x)
+        f = halo_widen(f, H, f.ndim - 1, py, ax_y)
+        if lane_pad:
+            f = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(0, lane_pad)])
+        return f
+
+    # Effective face masks with the GLOBAL wall zeroing baked in before
+    # the exchange (the staged path's iota + is_global_edge select).
+    ones = jnp.ones((nx, ny), dtype)
+    fx = ones if face_masks is None else face_masks[0].astype(dtype)
+    fy = ones if face_masks is None else face_masks[1].astype(dtype)
+    if not px:
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0) == 0
+        fx = jnp.where(row0 & is_global_edge(ax_x, "first"), 0.0, fx)
+    if not py:
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1) == 0
+        fy = jnp.where(col0 & is_global_edge(ax_y, "first"), 0.0, fy)
+    fx_w, fy_w = widen(fx), widen(fy)
+
+    if qv is None:
+        u_w, v_w = widen(u), widen(v)
+        vel_kw = dict(u=u_w, v=v_w)
+    else:
+        qv_w = QuadVelocity(
+            vx_vol=widen(qv.vx_vol), vy_vol=widen(qv.vy_vol),
+            vn_x=widen(qv.vn_x), vn_y=widen(qv.vn_y),
+        )
+        vel_kw = dict(qv=qv_w)
+
+    # The single-chip kernel's "model" on the widened (+lane-padded) block.
+    local_mesh = RectMesh(
+        nx=nx + 2 * H, ny=ny + 2 * H + lane_pad, dx=mesh.dx, dy=mesh.dy
+    )
+    local_model = SimpleNamespace(
+        mesh=local_mesh,
+        spmd=(None, None),
+        transport=DGTransport(
+            local_mesh, degree=tr.basis.degree, scheme=tr.scheme, tvb_m=None
+        ),
+    )
+
+    k = jnp.asarray(k, jnp.int32)
+
+    def round_body(carry):
+        states, done = carry
+        n_sub = jnp.minimum(jnp.int32(k_cap), k - done)
+        padded = widen(states)
+        padded = transport_substeps_tiled(
+            local_model, padded, dt_sub=dt_sub, k=n_sub,
+            face_masks=(fx_w, fy_w), interpret=interpret, tile_x=tile_x,
+            **vel_kw,
+        )
+        return padded[:, :, H : H + nx, H : H + ny], done + n_sub
+
+    states, _ = jax.lax.while_loop(
+        lambda c: c[1] < k, round_body, (tracers, jnp.int32(0))
+    )
+    return states

@@ -243,6 +243,51 @@ def test_shardmap_ho_coupled_step_matches_single_device():
             )
 
 
+def test_shardmap_tiled_transport_matches_staged():
+    """Blocked ghost-zone tiled transport under shard_map (one ppermute
+    pair per (H-1)//rings substeps, the single-chip tiled Pallas kernel on
+    the widened block, interpret mode) == the staged single-device path."""
+    mesh, ref_model, state, pf, df = global_setup(n=16)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    model, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10,
+        transport_backend="tiled-interpret",
+    )
+    assert model._tiled_transport_mode() == "interpret-spmd"
+    got = sharded_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_shardmap_tiled_transport_ho_matches_staged():
+    """The HO (CG2-sampled QuadVelocity riding the kernel as 24 constant
+    planes) variant of the blocked spmd tiled transport."""
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    ModuleRegistry.get_loader().set_implementation(
+        "Nextsim::IDynamics", "Nextsim::MEVPHighOrder"
+    )
+    mesh, ref_model, state, pf, df = global_setup(n=16)
+    assert ref_model.is_high_order
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    _, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10,
+        transport_backend="tiled-interpret",
+        mevp_backend="blocked-interpret", mevp_block_halo=4,
+    )
+    got = sharded_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
+        )
+
+
 def test_rdma_halo_exchange_matches_per_subcycle():
     """backend='rdma-interpret' (in-kernel make_async_remote_copy halo
     exchange overlapped with the interior pass, simulated by the TPU
