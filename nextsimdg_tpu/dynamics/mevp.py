@@ -518,28 +518,28 @@ class MEVPSolver:
         """Ghost-zone rounds whose halo exchange is an in-kernel RDMA
         overlapped with the interior compute (see kernels/mevp_rdma.py).
 
-        x-axis sharding on closed domains only; consts are widened once
-        per step via the ppermute ``halo_widen`` (7 planes per ~100
-        subcycles — not worth hiding), then every round's 5 state strips
-        ride ``make_async_remote_copy`` behind the interior pass.
+        1-D (x or y) and 2-D ('X','Y') meshes, closed or periodic
+        domains; consts are widened once per step via the ppermute
+        ``halo_widen`` (7 planes per ~100 subcycles — not worth hiding),
+        then every round's 5 state strips ride
+        ``make_async_remote_copy`` behind the interior pass (corners via
+        the two-phase x-then-extended-y exchange).
         """
         from .kernels.mevp_rdma import mevp_round_rdma
         from .stencil import halo_widen
 
         ax_x, ax_y = self.spmd
-        if ax_x is None or ax_y is not None:
-            raise NotImplementedError(
-                "rdma halo exchange supports x-axis sharding only"
-            )
-        if self.mesh.periodic_x or self.mesh.periodic_y:
-            raise NotImplementedError(
-                "rdma halo exchange supports closed domains only"
-            )
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
         h = self.block_halo
-        consts_w = {
-            name: halo_widen(value, h, 0, False, ax_x)
-            for name, value in consts.items()
-        }
+
+        def widen(f):
+            if ax_x is not None:
+                f = halo_widen(f, h, 0, px, ax_x)
+            if ax_y is not None:
+                f = halo_widen(f, h, 1, py, ax_y)
+            return f
+
+        consts_w = {name: widen(value) for name, value in consts.items()}
         local = MEVPSolver(
             RectMesh(
                 nx=self.mesh.nx, ny=self.mesh.ny,
@@ -555,8 +555,8 @@ class MEVPSolver:
             n_sub = min(h, remaining)
             remaining -= n_sub
             carry = mevp_round_rdma(
-                local, carry, consts_w, dt, n_sub, h, ax_x,
-                interpret=interpret,
+                local, carry, consts_w, dt, n_sub, h, (ax_x, ax_y),
+                periodic=(px, py), interpret=interpret,
             )
         return carry
 

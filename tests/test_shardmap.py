@@ -288,7 +288,16 @@ def test_shardmap_tiled_transport_ho_matches_staged():
         )
 
 
-def test_rdma_halo_exchange_matches_per_subcycle():
+@pytest.mark.parametrize(
+    "shape,spmd,periodic",
+    [
+        ((4, 1), ("X", None), False),  # 1-D x strips
+        ((1, 4), (None, "Y"), False),  # 1-D y strips (lane dim)
+        ((4, 2), ("X", "Y"), False),   # 2-D + two-phase corner exchange
+        ((2, 2), ("X", "Y"), True),    # periodic wrap rides the ring
+    ],
+)
+def test_rdma_halo_exchange_matches_per_subcycle(shape, spmd, periodic):
     """backend='rdma-interpret' (in-kernel make_async_remote_copy halo
     exchange overlapped with the interior pass, simulated by the TPU
     interpret machinery on the CPU mesh) == the single-device XLA result,
@@ -299,7 +308,10 @@ def test_rdma_halo_exchange_matches_per_subcycle():
     from nextsimdg_tpu.parallel import make_spatial_mesh
 
     n = 32
-    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    mesh = RectMesh(
+        nx=n, ny=n, dx=512e3 / n, dy=512e3 / n,
+        periodic_x=periodic, periodic_y=periodic,
+    )
     dtype = jnp.float64
     full = lambda v: jnp.full((n, n), v, dtype)
     h, a = full(2.0), full(0.95)
@@ -311,11 +323,15 @@ def test_rdma_halo_exchange_matches_per_subcycle():
     ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
     expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 11)
 
-    device_mesh = make_spatial_mesh((4, 1))
-    local = RectMesh(nx=n // 4, ny=n, dx=mesh.dx, dy=mesh.dy)
-    spec = P("X", None)
+    device_mesh = make_spatial_mesh(shape)
+    px, py = shape
+    local = RectMesh(
+        nx=n // px, ny=n // py, dx=mesh.dx, dy=mesh.dy,
+        periodic_x=periodic, periodic_y=periodic,
+    )
+    spec = P(*spmd)
     solver = MEVPSolver(
-        local, MEVPParams(), backend="rdma-interpret", spmd=("X", None),
+        local, MEVPParams(), backend="rdma-interpret", spmd=spmd,
         block_halo=4,  # 11 subcycles = rounds of 4 + 4 + 3
     )
 
@@ -337,5 +353,25 @@ def test_rdma_halo_exchange_matches_per_subcycle():
     )(state, h, a, df)
     for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
         np.testing.assert_allclose(
-            np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13
+            np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13,
+            err_msg=f"{shape} {spmd} periodic={periodic}",
+        )
+
+
+def test_rdma_coupled_matches_blocked():
+    """The flagship coupled model on its own 2-D ('X','Y') mesh with
+    mevp_backend='rdma' (in-kernel overlapped halo exchange) == the
+    'blocked' ppermute path == single-device."""
+    mesh, ref_model, state, pf, df = global_setup(n=16)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((2, 2))
+    _, rdma_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10,
+        mevp_backend="rdma-interpret", mevp_block_halo=4,
+    )
+    got = rdma_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11
         )
