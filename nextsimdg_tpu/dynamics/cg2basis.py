@@ -109,8 +109,13 @@ def cg2_tables() -> CG2Tables:
     dndx = np.array([dshape_dx(n, xq, yq) for n in range(n_nodes)])
     dndy = np.array([dshape_dy(n, xq, yq) for n in range(n_nodes)])
 
+    # The HO solver's internal 3x3 rule is independent of the transport
+    # basis's (degree-matched, possibly 2x2) rule: evaluate the dG1 basis
+    # at THESE points directly.
+    from .dgbasis import _phi
+
     dg1 = dg_basis(1)
-    phi = dg1.psi_vol  # (3, NQ)
+    phi = np.array([_phi(k, xq, yq) for k in range(3)])  # (3, NQ)
     inv_mass = dg1.inv_mass_diag  # (3,)
 
     # L2 projection of gradients onto dG1 (reference coordinates).
@@ -126,3 +131,15 @@ def cg2_tables() -> CG2Tables:
         grad_x_to_dg1=grad_x, grad_y_to_dg1=grad_y,
         div_x=div_x, div_y=div_y, lumped_mass=lumped,
     )
+
+
+@lru_cache(maxsize=None)
+def cg2_sampling_table(degree: int) -> np.ndarray:
+    """(9, NQ) CG2 shape values at the TRANSPORT basis's volume points.
+
+    The transport quadrature is degree-matched (2x2 for dG0/dG1, 3x3 for
+    dG2; see dgbasis.gauss_rule_1d) and therefore distinct from the HO
+    solver's internal 3x3 rule in :func:`cg2_tables`.
+    """
+    b = dg_basis(degree)
+    return np.array([shape(n, b.xq_vol, b.yq_vol) for n in range(9)])

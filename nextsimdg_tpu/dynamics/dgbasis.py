@@ -36,6 +36,23 @@ _GP = 0.5 * np.sqrt(3.0 / 5.0)
 GAUSS_POINTS_1D = np.array([0.5 - _GP, 0.5, 0.5 + _GP])
 GAUSS_WEIGHTS_1D = np.array([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0])
 
+# 2-point Gauss-Legendre on [0,1] — exact through degree 3: sufficient for
+# every dG0/dG1 integrand (volume: psi [deg<=1] x dphi [deg 0] x velocity
+# [bilinear CG1 or biquadratic CG2, deg<=2] <= 3; edges: trace [<=1] x vn
+# [<=2] <= 3). Halves the quadrature-point planes (NQ 9->4, NE 3->2) — the
+# dominant streaming cost of the transport phase and of the fused/tiled
+# kernels' quad-velocity constants.
+_GP2 = 0.5 / np.sqrt(3.0)
+GAUSS_POINTS_1D_2 = np.array([0.5 - _GP2, 0.5 + _GP2])
+GAUSS_WEIGHTS_1D_2 = np.array([0.5, 0.5])
+
+
+def gauss_rule_1d(degree: int):
+    """The 1-D rule matched to the DG degree (see GAUSS_POINTS_1D_2)."""
+    if degree <= 1:
+        return GAUSS_POINTS_1D_2, GAUSS_WEIGHTS_1D_2
+    return GAUSS_POINTS_1D, GAUSS_WEIGHTS_1D
+
 
 def _phi(k: int, x, y):
     xm, ym = x - 0.5, y - 0.5
@@ -124,16 +141,18 @@ def dg_basis(degree: int) -> DGBasis:
         raise ValueError(f"unsupported DG degree: {degree} (use 0, 1 or 2)")
     n = DG_DOFS[degree]
 
-    # Volume quadrature: 3x3 tensor Gauss.
-    xq, yq = np.meshgrid(GAUSS_POINTS_1D, GAUSS_POINTS_1D, indexing="ij")
+    # Volume quadrature: tensor Gauss, rule matched to the degree (2x2 for
+    # dG0/dG1 — exact; 3x3 for dG2).
+    pts, wts = gauss_rule_1d(degree)
+    xq, yq = np.meshgrid(pts, pts, indexing="ij")
     xq, yq = xq.ravel(), yq.ravel()
-    wq = np.outer(GAUSS_WEIGHTS_1D, GAUSS_WEIGHTS_1D).ravel()
+    wq = np.outer(wts, wts).ravel()
 
     psi_vol = np.array([_phi(k, xq, yq) for k in range(n)])
     dpsi_dx = np.array([_dphi_dx(k, xq, yq) for k in range(n)])
     dpsi_dy = np.array([_dphi_dy(k, xq, yq) for k in range(n)])
 
-    s = GAUSS_POINTS_1D
+    s = pts
     zeros, ones = np.zeros_like(s), np.ones_like(s)
     psi_x0 = np.array([_phi(k, zeros, s) for k in range(n)])
     psi_x1 = np.array([_phi(k, ones, s) for k in range(n)])
@@ -151,8 +170,8 @@ def dg_basis(degree: int) -> DGBasis:
         dpsi_dy_vol=dpsi_dy,
         xq_vol=xq,
         yq_vol=yq,
-        w_edge=GAUSS_WEIGHTS_1D.copy(),
-        s_edge=GAUSS_POINTS_1D.copy(),
+        w_edge=wts.copy(),
+        s_edge=pts.copy(),
         psi_x0=psi_x0,
         psi_x1=psi_x1,
         psi_y0=psi_y0,

@@ -30,14 +30,15 @@ from ..cg2basis import PLANES
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
-#: Plane-equivalents held live: 46 inputs + 17 outputs + ~110 loop
-#: temporaries of the traced HO body (Gauss-point stacks dominate).
-_RESIDENT_PLANES = 176
+#: Plane-equivalents held live beyond the consts: 17 state inputs + 17
+#: outputs + ~110 loop temporaries of the traced HO body (Gauss-point
+#: stacks dominate). Consts: 29 uniform, 33 graded/spherical.
+_RESIDENT_EXTRA = 147
 
 
-def ho_pallas_supported(nx: int, ny: int, itemsize: int = 4) -> bool:
+def ho_pallas_supported(nx: int, ny: int, itemsize: int = 4, n_consts: int = 29) -> bool:
     """Whether the fused HO kernel fits this grid in VMEM (f32: ~371^2)."""
-    return nx * ny * itemsize * _RESIDENT_PLANES <= _VMEM_BUDGET
+    return nx * ny * itemsize * (n_consts + _RESIDENT_EXTRA) <= _VMEM_BUDGET
 
 
 def ho_subcycles_pallas(

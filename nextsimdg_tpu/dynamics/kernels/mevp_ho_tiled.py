@@ -27,17 +27,18 @@ from ..cg2basis import PLANES
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 _TILED_VMEM_BUDGET = 96 * 1024 * 1024
-#: Block-equivalents resident per tile: 46 scratch blocks (17 state + 29
-#: const) + ~110 Mosaic stack temporaries of the HO body (Gauss-point
-#: stacks dominate; same census as mevp_ho_pallas._RESIDENT_PLANES).
-_BLOCK_EQUIVALENTS = 156
+#: Block-equivalents resident per tile beyond the consts: 17 state
+#: scratch blocks + ~110 Mosaic stack temporaries of the HO body
+#: (Gauss-point stacks dominate; same census as mevp_ho_pallas).
+#: Consts: 29 uniform, 33 graded/spherical.
+_BLOCK_EQUIVALENTS_EXTRA = 127
 
 
-def ho_tiled_config(nx: int, ny: int):
+def ho_tiled_config(nx: int, ny: int, n_consts: int = 29):
     """(tile_x, halo_x) full-row tile config, or None if unsupported."""
     if ny % 128:
         return None
-    budget = _TILED_VMEM_BUDGET // (_BLOCK_EQUIVALENTS * 4)
+    budget = _TILED_VMEM_BUDGET // ((n_consts + _BLOCK_EQUIVALENTS_EXTRA) * 4)
     best = None
     best_cost = None
     for halo_x in (8, 16, 32):

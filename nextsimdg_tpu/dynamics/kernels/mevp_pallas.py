@@ -36,13 +36,14 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 #: also fit: measured on v5e, 768^2 (47 MB of residents) compiles and
 #: runs 1.18x over XLA, 1024^2 (84 MB) exceeds physical VMEM.
 _VMEM_BUDGET = 48 * 1024 * 1024
-#: Fields held resident: 7 constants + 5 state + ~8 live temporaries.
-_RESIDENT_FIELDS = 20
+#: Fields held resident: n_consts constants + 5 state + ~8 live
+#: temporaries (7 consts uniform; +5 metric planes graded/spherical).
+_RESIDENT_EXTRA = 13
 
 
-def pallas_supported(nx: int, ny: int, itemsize: int = 4) -> bool:
+def pallas_supported(nx: int, ny: int, itemsize: int = 4, n_consts: int = 7) -> bool:
     """Whether the single-block fused kernel fits this grid in VMEM."""
-    return nx * ny * itemsize * _RESIDENT_FIELDS <= _VMEM_BUDGET
+    return nx * ny * itemsize * (n_consts + _RESIDENT_EXTRA) <= _VMEM_BUDGET
 
 
 def mevp_subcycles_pallas(
@@ -55,9 +56,9 @@ def mevp_subcycles_pallas(
 ):
     """Run n_subcycles fused in one Pallas call; returns (u, v, s11, s22, s12)."""
     u, v, s11, s22, s12 = state_arrays
-    const_names = (
-        "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
-    )
+    # Sorted dynamic const set: 7 planes uniform, +5 metric planes on
+    # graded/spherical meshes (step_consts).
+    const_names = tuple(sorted(consts))
     const_arrays = [consts[name] for name in const_names]
 
     def kernel(*refs):

@@ -60,9 +60,6 @@ DEFAULT_HALO_X = 8
 DEFAULT_HALO_Y = 128
 
 _STATE_NAMES = ("u", "v", "s11", "s22", "s12")
-_CONST_NAMES = (
-    "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
-)
 
 
 def tiled_supported(
@@ -71,11 +68,12 @@ def tiled_supported(
     return nx % tile_x == 0 and ny % tile_y == 0 and nx >= tile_x and ny >= tile_y
 
 
-#: VMEM budget for auto_config: 2 x 12 double-buffered scratch blocks
-#: (input prefetch overlaps the previous tile's compute) + 2 x 5 staging
-#: blocks for the deferred interior write-backs + ~24 block-sized Mosaic
-#: stack temporaries of the subcycle body, against the 110 MB cap.
-_BLOCK_EQUIVALENTS = 58
+#: VMEM budget terms for auto_config: 2 x (n_consts + 5) double-buffered
+#: scratch blocks (input prefetch overlaps the previous tile's compute)
+#: + 2 x 5 staging blocks for the deferred interior write-backs + ~24
+#: block-sized Mosaic stack temporaries of the subcycle body, against the
+#: 110 MB cap. n_consts = 7 uniform (58 total), 12 graded/spherical (68).
+_BLOCK_EQUIVALENTS_EXTRA = 34
 _TILED_VMEM_BUDGET = 96 * 1024 * 1024
 
 #: Overlap-aware cost model inputs (measured v5e, docs/performance.md):
@@ -100,7 +98,7 @@ def _tile_cost_per_element(nx: int, ny: int, tile_x: int, halo_x: int):
     return per_round / (nx * ny * halo_x)
 
 
-def auto_config(nx: int, ny: int):
+def auto_config(nx: int, ny: int, n_consts: int = 7):
     """Pick (tile_x, tile_y, halo_x, halo_y) for a closed (nx, ny) grid.
 
     Preference order (measured v5e, docs/performance.md): FULL-ROW tiles
@@ -112,7 +110,8 @@ def auto_config(nx: int, ny: int):
     alignment rules.
     """
     itemsize = 4
-    budget = _TILED_VMEM_BUDGET // (_BLOCK_EQUIVALENTS * itemsize)
+    block_equivalents = 2 * (n_consts + 5) + _BLOCK_EQUIVALENTS_EXTRA
+    budget = _TILED_VMEM_BUDGET // (block_equivalents * itemsize)
     best = None
     best_cost = None
     if ny % 128 == 0:
@@ -184,7 +183,8 @@ def mevp_subcycles_tiled(
     block_y = tile_y + 2 * halo_y
     sub_per_round = min(h for h in (halo_x, halo_y) if h > 0)
     pad_x, pad_y = nx + 2 * halo_x, ny + 2 * halo_y
-    n_consts = len(_CONST_NAMES)
+    const_names = tuple(sorted(consts))
+    n_consts = len(const_names)
     n_fields = n_consts + 5
 
     # Pad once: zeros everywhere (= closed walls; active=0 pins
@@ -192,7 +192,7 @@ def mevp_subcycles_tiled(
     # precomputed). Consts are never overwritten, so their zero rings
     # survive all rounds; state rings are re-zeroed in VMEM per tile.
     pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (halo_y, halo_y)))
-    consts_stack = jnp.stack([pad2(consts[name]) for name in _CONST_NAMES])
+    consts_stack = jnp.stack([pad2(consts[name]) for name in const_names])
 
     n_tiles = n_ti * n_tj
     n_rounds = -(-n_subcycles // sub_per_round)
@@ -301,7 +301,7 @@ def mevp_subcycles_tiled(
         # in-kernel edge-strip zeroing is needed.
         kconsts = {
             name: scratch[slot, idx]
-            for idx, name in enumerate(_CONST_NAMES)
+            for idx, name in enumerate(const_names)
         }
         carry0 = tuple(scratch[slot, n_consts + k] for k in range(5))
 

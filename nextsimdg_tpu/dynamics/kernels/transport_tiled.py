@@ -67,7 +67,11 @@ def transport_tiled_config(model, n_tracers: int = 3):
     + ``transport_substeps_tiled_spmd`` instead.
     """
     mesh = model.mesh
-    if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
+    if mesh.periodic_x or mesh.periodic_y:
+        return None
+    if not mesh.uniform and model.transport.tvb_m is not None:
+        # The TVB tolerance M dx^2 would need per-element planes inside
+        # the limiter; graded TVB configs keep the staged path.
         return None
     if any(axis is not None for axis in model.spmd):
         return None
@@ -80,9 +84,12 @@ def transport_tiled_config(model, n_tracers: int = 3):
         return None
     # VMEM plane-equivalents: 4 consts + 2 K T coefficients (in + RK stage)
     # + 24 quadrature-velocity planes + the streamed-rhs live set
-    # (~8 K T accumulators/traces) + slack. Calibrated to the mevp_tiled
-    # budget discipline.
+    # (~8 K T accumulators/traces) + slack (+5 metric planes on
+    # graded/spherical meshes). Calibrated to the mevp_tiled budget
+    # discipline.
     planes = 4 + 24 + 10 * n_dofs * n_tracers + 12
+    if not mesh.uniform:
+        planes += 5
     budget = _VMEM_BUDGET // (planes * 4)
     tile_x = 512
     while tile_x >= 8:
@@ -158,13 +165,24 @@ def transport_substeps_tiled(
             + [qv.vn_x[i] for i in range(qv_counts[2])]
             + [qv.vn_y[i] for i in range(qv_counts[3])]
         )
+    # Graded/spherical meshes: the 5 metric planes ride as extra consts
+    # (zero rings = no flux/zero gradients in the discarded ghost zone).
+    metric = model.transport.metric_planes(dtype)
+    metric_names = tuple(sorted(metric)) if metric is not None else ()
+    if metric is not None:
+        const_planes = const_planes + [metric[name] for name in metric_names]
     n_const = len(const_planes)
     consts_stack = jnp.stack([pad2(a) for a in const_planes])
     states0 = jnp.stack([pad2(tracers[ki, ti]) for ki in range(K) for ti in range(T)])
 
     # Local transport operator on the widened block (closed shifts; the
     # halo supplies real neighbor data, block edges are discarded rings).
-    local_mesh = RectMesh(nx=block_x, ny=ny, dx=mesh.dx, dy=mesh.dy)
+    # Non-uniform geometry travels entirely via the metric const planes,
+    # so the shim mesh is a unit uniform mesh in that case.
+    if metric is None:
+        local_mesh = RectMesh(nx=block_x, ny=ny, dx=mesh.dx, dy=mesh.dy)
+    else:
+        local_mesh = RectMesh(nx=block_x, ny=ny, dx=1.0, dy=1.0)
     local_tr = DGTransport(
         local_mesh, degree=model.transport.basis.degree,
         scheme=model.transport.scheme, tvb_m=model.transport.tvb_m,
@@ -217,6 +235,12 @@ def transport_substeps_tiled(
                 vn_x=c_scr[o + nvx + nvy : o + nvx + nvy + nnx],
                 vn_y=c_scr[o + nvx + nvy + nnx : o + nvx + nvy + nnx + nny],
             )
+        kmetric = None
+        if metric_names:
+            base = n_const - len(metric_names)
+            kmetric = {
+                name: c_scr[base + i] for i, name in enumerate(metric_names)
+            }
         psi = s_scr[:].reshape(K, T, block_x, ny)
         dt_s = dt_ref[0]
 
@@ -242,7 +266,9 @@ def transport_substeps_tiled(
             return jnp.concatenate([lo, p[:, :, halo_x:hi_row, :], hi], axis=2)
 
         def body(_, p):
-            p = local_tr.step(p, kqv, dt_s, limit=True, face_masks=kmasks)
+            p = local_tr.step(
+                p, kqv, dt_s, limit=True, face_masks=kmasks, metric=kmetric
+            )
             return refresh_ghosts(p)
 
         psi = jax.lax.fori_loop(0, nsub_ref[0], body, psi)

@@ -181,9 +181,9 @@ class MEVPSolver:
                 return "blocked"
             # Per-subcycle width-1 ppermute halos on the XLA path.
             return "xla"
-        if not self.mesh.uniform:
-            # Graded meshes carry per-element metric arrays; XLA path only.
-            return "xla"
+        # Graded/spherical meshes ride the kernels as 5 extra metric
+        # const planes (inv_dx/inv_dy/half_dx/half_dy/inv_w; step_consts).
+        n_consts = 7 if self.mesh.uniform else 12
         if self.backend in ("pallas", "pallas-interpret"):
             return "single"
         if self.backend in ("pallas-tiled", "pallas-tiled-interpret"):
@@ -194,7 +194,7 @@ class MEVPSolver:
 
         if jax.default_backend() != "tpu":
             return "xla"
-        if pallas_supported(self.mesh.nx, self.mesh.ny):
+        if pallas_supported(self.mesh.nx, self.mesh.ny, n_consts=n_consts):
             return "single"
         from .kernels.mevp_tiled import auto_config
 
@@ -206,29 +206,41 @@ class MEVPSolver:
             self.mesh.n_elements >= 1_000_000
             and not self.mesh.periodic_x
             and not self.mesh.periodic_y
-            and auto_config(self.mesh.nx, self.mesh.ny) is not None
+            and auto_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
+            is not None
         ):
             return "tiled"
         return "xla"
 
     # -- per-element strain rates from CG1 velocity --------------------------
-    def strain_rates(self, u, v):
+    def strain_rates(self, u, v, metric=None):
         """(e11, e22, e12) at element centers from bilinear gradients.
 
         Element (i, j) reads owned nodes (i, j), (i+1, j), (i, j+1),
         (i+1, j+1); +1 shifts supply the implicit boundary values.
+        ``metric``: optional (inv_dx, inv_dy) full per-element planes —
+        how graded/spherical widths reach the Pallas kernels (Mosaic
+        rejects captured array constants, so the planes ride the consts;
+        see ``step_consts``).
         """
         from .stencil import shift_p
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
         ax_x, ax_y = self.spmd
-        dx = _metric(self.mesh.dx, u.dtype)
-        dy = _metric(self.mesh.dy, u.dtype)
         u00, v00 = u, v
         u10, v10 = shift_p(u, 0, px, ax_x), shift_p(v, 0, px, ax_x)
         u01, v01 = shift_p(u, 1, py, ax_y), shift_p(v, 1, py, ax_y)
         u11 = shift_p(u10, 1, py, ax_y)
         v11 = shift_p(v10, 1, py, ax_y)
+        if metric is not None:
+            inv_dx, inv_dy = metric
+            du_dx = 0.5 * ((u10 - u00) + (u11 - u01)) * inv_dx
+            dv_dy = 0.5 * ((v01 - v00) + (v11 - v10)) * inv_dy
+            du_dy = 0.5 * ((u01 - u00) + (u11 - u10)) * inv_dy
+            dv_dx = 0.5 * ((v10 - v00) + (v11 - v01)) * inv_dx
+            return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
+        dx = _metric(self.mesh.dx, u.dtype)
+        dy = _metric(self.mesh.dy, u.dtype)
         du_dx = 0.5 * ((u10 - u00) + (u11 - u01)) / dx
         dv_dy = 0.5 * ((v01 - v00) + (v11 - v10)) / dy
         du_dy = 0.5 * ((u01 - u00) + (u11 - u10)) / dy
@@ -236,18 +248,42 @@ class MEVPSolver:
         return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
 
     # -- weak-form divergence of element-constant stress to nodes ------------
-    def stress_divergence(self, s11, s22, s12):
+    def stress_divergence(self, s11, s22, s12, metric=None):
         """Nodal forces (Fu, Fv) = -int sigma : grad(phi), per unit length.
 
         For bilinear phi on a rectangle, int_E dphi/dx dA = +-dy/2 (sign by
         which side of E the node is on) and int_E dphi/dy dA = +-dx/2, so
         assembly is a signed 2x2 corner gather: node (i, j) reads elements
         (i-1, j-1), (i-1, j), (i, j-1), (i, j).
+        ``metric``: optional (half_dx, half_dy) full per-element planes
+        (graded/spherical meshes inside Pallas kernels; see
+        ``step_consts``) — each element weighted by ITS OWN face length
+        before shifting.
         """
         from .stencil import shift_m
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
         ax_x, ax_y = self.spmd
+        if metric is not None:
+            half_dx, half_dy = metric
+
+            def scatter_x_m(cell):
+                w = cell * half_dy
+                wm_x = shift_m(w, 0, px, ax_x)
+                wm_y = shift_m(w, 1, py, ax_y)
+                wm_xy = shift_m(wm_x, 1, py, ax_y)
+                return (wm_y + w) - (wm_xy + wm_x)
+
+            def scatter_y_m(cell):
+                w = cell * half_dx
+                wm_x = shift_m(w, 0, px, ax_x)
+                wm_y = shift_m(w, 1, py, ax_y)
+                wm_xy = shift_m(wm_x, 1, py, ax_y)
+                return (wm_x + w) - (wm_xy + wm_y)
+
+            fu = scatter_x_m(s11) + scatter_y_m(s12)
+            fv = scatter_x_m(s12) + scatter_y_m(s22)
+            return fu, fv
         dx = _metric(self.mesh.dx, s11.dtype)
         dy = _metric(self.mesh.dy, s11.dtype)
 
@@ -345,7 +381,10 @@ class MEVPSolver:
                 # Tiny tiles so small test grids exercise multiple tiles.
                 kwargs = dict(tile=min(8, self.mesh.nx), halo=4, interpret=True)
             else:
-                cfg = auto_config(self.mesh.nx, self.mesh.ny)
+                cfg = auto_config(
+                    self.mesh.nx, self.mesh.ny,
+                    n_consts=7 if self.mesh.uniform else 12,
+                )
                 if cfg is not None:
                     kwargs = dict(
                         tile_x=cfg[0], tile_y=cfg[1], halo_x=cfg[2], halo_y=cfg[3]
@@ -414,9 +453,23 @@ class MEVPSolver:
             v_ocean=forcing.v_ocean,
         )
         if not self.mesh.uniform:
-            # Per-node quarter-area weights for the force normalization
-            # (the fused kernels only run on uniform meshes).
+            # Per-node quarter-area weights for the force normalization,
+            # plus the per-element metric planes (inv widths for the
+            # strain gradients, half face-lengths for the stress-divergence
+            # scatter weights). Full (nx, ny) planes — the land-mask
+            # pattern — so graded/spherical meshes ride the fused/tiled
+            # Pallas kernels as 5 extra const planes instead of being
+            # excluded (Mosaic rejects captured array constants).
+            import numpy as np
+
+            shape = (self.mesh.nx, self.mesh.ny)
+            dx64 = np.broadcast_to(np.asarray(self.mesh.dx), shape)
+            dy64 = np.broadcast_to(np.asarray(self.mesh.dy), shape)
             consts["inv_w"] = 1.0 / node_area
+            consts["inv_dx"] = jnp.asarray(1.0 / dx64, dtype)
+            consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
+            consts["half_dx"] = jnp.asarray(0.5 * dx64, dtype)
+            consts["half_dy"] = jnp.asarray(0.5 * dy64, dtype)
         return consts
 
     def _blocked_inner_engine(self, nxw: int, nyw: int) -> str:
@@ -578,17 +631,31 @@ class MEVPSolver:
         b_u, b_v = consts["b_u"], consts["b_v"]
         u_ocean, v_ocean = consts["u_ocean"], consts["v_ocean"]
 
-        # 1. strain rates and Delta.
-        e11, e22, e12 = self.strain_rates(u, v)
+        # 1. strain rates and Delta (metric planes when graded/spherical).
+        graded = "inv_dx" in consts
+        e11, e22, e12 = self.strain_rates(
+            u, v,
+            metric=(consts["inv_dx"], consts["inv_dy"]) if graded else None,
+        )
         delta = jnp.sqrt(
             (e11 * e11 + e22 * e22) * (1.0 + 1.0 / e2)
             + 2.0 * e11 * e22 * (1.0 - 1.0 / e2)
             + 4.0 / e2 * e12 * e12
         )
-        # Replacement pressure: P Delta/(Delta+Delta_min). One shared
-        # reciprocal feeds zeta and p_rep (VPU divides are ~as costly as a
-        # whole-plane shift; see docs/performance.md).
-        inv_denom = 1.0 / (delta + p.delta_min)
+        # Replacement pressure: P Delta/(Delta+Delta_min). The rheology
+        # denominator (Delta + Delta_min) and the drag denominator
+        # (1 + beta + dt_m c_w, step 4) share ONE division via
+        # 1/a = (1/(a b)) b — VPU divides are ~as costly as a whole-plane
+        # shift (docs/performance.md), so trading the second divide for
+        # three multiplies wins. c_w is hoisted here for the fused product.
+        rel_u = consts["u_ocean"] - u
+        rel_v = consts["v_ocean"] - v
+        c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(rel_u * rel_u + rel_v * rel_v)
+        denom_rheo = delta + p.delta_min
+        denom_drag = 1.0 + beta + dt_m * c_w
+        inv_both = 1.0 / (denom_rheo * denom_drag)
+        inv_denom = inv_both * denom_drag
+        inv_drag = active * (inv_both * denom_rheo)
         zeta = 0.5 * strength * inv_denom
         eta = zeta * (1.0 / e2)
         p_rep = strength * delta * inv_denom
@@ -607,7 +674,10 @@ class MEVPSolver:
         # 3. stress divergence -> nodal force per unit area: F_raw / W_node
         # with W = sum of adjacent quarter-areas (= dx*dy on uniform
         # interiors; per-node plane via consts["inv_w"] on graded meshes).
-        fu, fv = self.stress_divergence(s11, s22, s12)
+        fu, fv = self.stress_divergence(
+            s11, s22, s12,
+            metric=(consts["half_dx"], consts["half_dy"]) if graded else None,
+        )
         if "inv_w" in consts:
             inv_w = consts["inv_w"]
         else:
@@ -615,17 +685,11 @@ class MEVPSolver:
         fu = fu * inv_w
         fv = fv * inv_w
 
-        # 4. beta-relaxed velocity update, semi-implicit ocean drag.
-        rel_u = u_ocean - u
-        rel_v = v_ocean - v
-        c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(rel_u * rel_u + rel_v * rel_v)
+        # 4. beta-relaxed velocity update, semi-implicit ocean drag
+        # (c_w and inv_drag hoisted into the shared division of step 1;
+        # the Dirichlet mask is folded into inv_drag there).
         cor_u = p.f_coriolis * (v - v_ocean) if p.use_coriolis else 0.0
         cor_v = -p.f_coriolis * (u - u_ocean) if p.use_coriolis else 0.0
-
-        # u and v share the drag denominator; folding the Dirichlet mask
-        # into the shared reciprocal turns (2 divides + 2 multiplies) into
-        # (1 divide + 2 multiplies).
-        inv_drag = active / (1.0 + beta + dt_m * c_w)
         u_new = (
             beta * u + b_u + dt_m * (fu + c_w * u_ocean) + dt * cor_u
         ) * inv_drag

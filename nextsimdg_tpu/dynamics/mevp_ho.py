@@ -129,23 +129,23 @@ def ho_velocity_to_quad(mesh: RectMesh, basis, u: HOField, v: HOField, spmd=(Non
     points use the full 9-node CG2 interpolation; faces use the quadratic
     trace through the 3 nodes on each face (single-valued across elements).
     """
-    from .dgbasis import GAUSS_POINTS_1D
     from .transport import QuadVelocity
-    from .cg2basis import _lagrange_1d, cg2_tables
+    from .cg2basis import _lagrange_1d, cg2_sampling_table
 
-    t = cg2_tables()
     px, py = mesh.periodic_x, mesh.periodic_y
     ax, ay = spmd
 
     solver_like = MEVPSolverHO(mesh, spmd=spmd)
     u_loc = solver_like.gather_local(u)
     v_loc = solver_like.gather_local(v)
-    # Volume points: (9 nodes -> NQ points).
-    vx_vol = apply_table(t.n_vol, u_loc)
-    vy_vol = apply_table(t.n_vol, v_loc)
+    # Volume points: (9 nodes -> NQ points), at the TRANSPORT basis's
+    # (degree-matched) quadrature points.
+    n_vol = cg2_sampling_table(basis.degree)
+    vx_vol = apply_table(n_vol, u_loc)
+    vy_vol = apply_table(n_vol, v_loc)
 
     # Left face (x=0): nodes v(i,j), l(i,j), v(i,j+1); quadratic in s.
-    s = GAUSS_POINTS_1D
+    s = basis.s_edge
     w0 = jnp.asarray(_lagrange_1d(0, s))[:, None, None]
     w1 = jnp.asarray(_lagrange_1d(1, s))[:, None, None]
     w2 = jnp.asarray(_lagrange_1d(2, s))[:, None, None]
@@ -231,15 +231,25 @@ class MEVPSolverHO:
         return _metric(self.mesh.dx, dtype), _metric(self.mesh.dy, dtype)
 
     # -- strain: CG2 velocity -> dG1 coefficients ----------------------------
-    def strain_rates(self, u: HOField, v: HOField):
+    def strain_rates(self, u: HOField, v: HOField, metric=None):
         """(e11, e22, e12) as (3, nx, ny) dG1 coefficient arrays.
 
         Graded/spherical meshes: the per-element widths broadcast over the
-        leading dG1-dof axis (piecewise-constant metric per element)."""
+        leading dG1-dof axis (piecewise-constant metric per element);
+        ``metric``: optional (inv_dx, inv_dy) full planes — how the
+        widths reach the fused/tiled HO Pallas kernels (Mosaic rejects
+        captured array constants; see ``step_consts``)."""
         t = self.tables
-        dx, dy = self._dx_dy(u.v.dtype)
         u_loc = self.gather_local(u)
         v_loc = self.gather_local(v)
+        if metric is not None:
+            inv_dx, inv_dy = metric
+            du_dx = apply_table(t.grad_x_to_dg1.T, u_loc) * inv_dx
+            du_dy = apply_table(t.grad_y_to_dg1.T, u_loc) * inv_dy
+            dv_dx = apply_table(t.grad_x_to_dg1.T, v_loc) * inv_dx
+            dv_dy = apply_table(t.grad_y_to_dg1.T, v_loc) * inv_dy
+            return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
+        dx, dy = self._dx_dy(u.v.dtype)
         du_dx = apply_table(t.grad_x_to_dg1.T, u_loc) / dx
         du_dy = apply_table(t.grad_y_to_dg1.T, u_loc) / dy
         dv_dx = apply_table(t.grad_x_to_dg1.T, v_loc) / dx
@@ -247,13 +257,17 @@ class MEVPSolverHO:
         return du_dx, dv_dy, 0.5 * (du_dy + dv_dx)
 
     # -- weak-form stress divergence -> CG2 nodal forces ---------------------
-    def stress_divergence(self, s11, s22, s12):
+    def stress_divergence(self, s11, s22, s12, metric=None):
         """Nodal forces (per unit area): F_n = -int sigma : grad(phi_n) / W_n
         is NOT applied here — returns the raw integrals (Fu, Fv) as HOFields
         (units: stress x length). Metric weighting happens per element
-        BEFORE the scatter, so graded meshes assemble consistently."""
+        BEFORE the scatter, so graded meshes assemble consistently.
+        ``metric``: optional (dx, dy) full planes (kernel path)."""
         t = self.tables
-        dx, dy = self._dx_dy(s11.dtype)
+        if metric is not None:
+            dx, dy = metric
+        else:
+            dx, dy = self._dx_dy(s11.dtype)
         # int_E sigma_c phi_c dN_n/dx dA = dy * div_x[c, n] (reference-integral
         # times the metric); forces get a minus sign (integration by parts).
         fu_loc = -(
@@ -346,15 +360,9 @@ class MEVPSolverHO:
                 return "blocked"
             # Per-subcycle width-1 ppermute halos on the XLA path.
             return "xla"
-        if not self.mesh.uniform:
-            # Graded meshes carry (nx, ny) metric arrays that the traced
-            # kernel body would capture as large constants; XLA path only
-            # (an explicit 'pallas' request would fail deep in Mosaic).
-            if self.backend in ("pallas", "pallas-interpret"):
-                raise NotImplementedError(
-                    "the fused HO kernel requires a uniform mesh"
-                )
-            return "xla"
+        # Graded/spherical meshes ride the HO kernels as 4 extra metric
+        # const planes (dx/dy/inv_dx/inv_dy; step_consts).
+        n_consts = 29 if self.mesh.uniform else 33
         if self.backend in ("pallas", "pallas-interpret"):
             return (
                 "single-interpret"
@@ -373,7 +381,7 @@ class MEVPSolverHO:
             return "xla"
         from .kernels.mevp_ho_pallas import ho_pallas_supported
 
-        if ho_pallas_supported(self.mesh.nx, self.mesh.ny):
+        if ho_pallas_supported(self.mesh.nx, self.mesh.ny, n_consts=n_consts):
             return "single"
         from .kernels.mevp_ho_tiled import ho_tiled_config
 
@@ -381,7 +389,8 @@ class MEVPSolverHO:
             self.mesh.n_elements >= 1_000_000
             and not self.mesh.periodic_x
             and not self.mesh.periodic_y
-            and ho_tiled_config(self.mesh.nx, self.mesh.ny) is not None
+            and ho_tiled_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
+            is not None
         ):
             return "tiled"
         return "xla"
@@ -399,6 +408,17 @@ class MEVPSolverHO:
         consts = {
             "strength": p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
         }
+        if not self.mesh.uniform:
+            # Per-element metric planes so graded/spherical meshes ride
+            # the fused/tiled HO Pallas kernels (the land-mask pattern;
+            # Mosaic rejects captured array constants).
+            shape = (self.mesh.nx, self.mesh.ny)
+            dx64 = np.broadcast_to(np.asarray(self.mesh.dx), shape)
+            dy64 = np.broadcast_to(np.asarray(self.mesh.dy), shape)
+            consts["dx"] = jnp.asarray(dx64, dtype)
+            consts["dy"] = jnp.asarray(dy64, dtype)
+            consts["inv_dx"] = jnp.asarray(1.0 / dx64, dtype)
+            consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
         h_node = self.node_thickness(h)
         weights = self.node_weights(dtype=dtype)
         for k in PLANES:
@@ -438,7 +458,12 @@ class MEVPSolverHO:
         )[:, None]
         phi_at_q = t.phi_dg1  # (3, NQ)
 
-        e11, e22, e12 = self.strain_rates(u, v)
+        graded = "inv_dx" in consts
+        e11, e22, e12 = self.strain_rates(
+            u, v,
+            metric=(consts["inv_dx"][None], consts["inv_dy"][None])
+            if graded else None,
+        )
 
         # VP law at Gauss points, projected back to dG1.
         e11_q = apply_table(phi_at_q, e11)
@@ -467,7 +492,10 @@ class MEVPSolverHO:
         s22 = s22 + (s22_vp - s22) * inv_alpha
         s12 = s12 + (s12_vp - s12) * inv_alpha
 
-        fu_raw, fv_raw = self.stress_divergence(s11, s22, s12)
+        fu_raw, fv_raw = self.stress_divergence(
+            s11, s22, s12,
+            metric=(consts["dx"], consts["dy"]) if graded else None,
+        )
 
         # u and v at a node share |u_rel| and the drag denominator:
         # compute c_w once per plane and fold the Dirichlet mask into

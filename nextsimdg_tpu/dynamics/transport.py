@@ -173,7 +173,11 @@ def cfl_substeps(
     global max speed against the smallest element. Under shard_map the
     max rides a ``pmax`` so every device agrees on the trip count.
     """
-    c_stab = 0.7 / (2 * degree + 1)
+    # Cockburn & Shu's RKDG bound: CFL <= 1/(2p+1) for P^p with RK(p+1).
+    # 15% safety margin (the Zhang-Shu positivity limiter adds robustness
+    # at fronts; validated by the 2000-step wind-8 finiteness test and a
+    # 4096-step TPU run at f32).
+    c_stab = 0.85 / (2 * degree + 1)
     # The METRIC widths (mesh.dx, not dx_array): on spherical meshes the
     # zonal width carries cos(phi) and the poleward rows are the tightest.
     dx_min = float(np.min(np.asarray(mesh.dx)))
@@ -234,18 +238,49 @@ class DGTransport:
         self._limit_table = np.concatenate(
             [b.psi_vol, b.psi_x0, b.psi_x1, b.psi_y0, b.psi_y1], axis=1
         )
+        self._metric_cache = {}
+
+    def metric_planes(self, dtype):
+        """Full per-element metric planes for non-uniform meshes.
+
+        None when uniform. 5 planes (the land-mask pattern): inverse
+        element widths for the volume gradients, owned-face lengths for
+        the flux integrals, inverse cell areas for the edge terms. Shared
+        by the staged path and the tiled Pallas kernels (which receive
+        them as extra const planes — Mosaic rejects captured array
+        constants), so both paths run identical math.
+        """
+        if self.mesh.uniform:
+            return None
+        key = jnp.dtype(dtype).name
+        if key not in self._metric_cache:
+            mesh = self.mesh
+            shape = (mesh.nx, mesh.ny)
+            bc = lambda a: jnp.asarray(np.broadcast_to(a, shape), dtype)
+            self._metric_cache[key] = {
+                "inv_dx": bc(1.0 / np.asarray(mesh.dx)),
+                "inv_dy": bc(1.0 / np.asarray(mesh.dy)),
+                "face_x": bc(np.asarray(mesh.face_len_x)),
+                "face_y": bc(np.asarray(mesh.face_len_y)),
+                "inv_area": bc(1.0 / np.asarray(mesh.cell_area)),
+            }
+        return self._metric_cache[key]
 
     # -- semi-discrete RHS ---------------------------------------------------
-    def rhs(self, psi, vel: QuadVelocity, face_masks=None):
+    def rhs(self, psi, vel: QuadVelocity, face_masks=None, metric=None):
         """d(psi)/dt for coefficients psi (K, ..., nx, ny).
 
         Extra middle dims batch multiple tracers through one pass (the
         velocity arrays are shared — cheaper than one call per tracer).
         ``face_masks``: optional (face_x, face_y) land masks (see
         face_masks_from_land) zeroing fluxes through coastlines.
+        ``metric``: per-element metric planes (see ``metric_planes``);
+        passed explicitly by the tiled kernels, derived here otherwise.
         """
         mesh = self.mesh
         dtype = psi.dtype
+        if metric is None:
+            metric = self.metric_planes(dtype)
         # Broadcast the velocity arrays over any batched tracer dims.
         extra = psi.ndim - 3
         expand = (slice(None),) + (None,) * extra
@@ -261,8 +296,8 @@ class DGTransport:
         # fused Pallas kernel. Accumulating per point keeps the live set
         # at ~2K accumulators + 3 temporaries (bit-identical sums: same
         # ascending-q order, zeros skipped, as the table contraction).
-        inv_dx = 1.0 / mesh.dx if mesh.uniform else 1.0 / jnp.asarray(mesh.dx, dtype)
-        inv_dy = 1.0 / mesh.dy if mesh.uniform else 1.0 / jnp.asarray(mesh.dy, dtype)
+        inv_dx = 1.0 / mesh.dx if metric is None else metric["inv_dx"]
+        inv_dy = 1.0 / mesh.dy if metric is None else metric["inv_dy"]
         psi_tab = np.asarray(self._psi_vol)
         wgx_t = np.asarray(self._wgx_vol.T)  # (NQ, K)
         wgy_t = np.asarray(self._wgy_vol.T)
@@ -313,19 +348,19 @@ class DGTransport:
         # Element i's faces: left = g_x[i], right = g_x[i+1] (wrap/zero-wall).
         if face_masks is not None:
             g_x = g_x * face_masks[0]
-        if not mesh.uniform:
+        if metric is not None:
             # Scale by the owned face's metric length BEFORE the neighbor
             # shift: both sides of a shared face then integrate the same
             # length * flux, which keeps curvilinear meshes conservative.
-            g_x = g_x * jnp.asarray(mesh.face_len_x, dtype=dtype)
+            g_x = g_x * metric["face_x"]
         g_right = shift_p(g_x, x_axis, px, ax_x)
         edge_x = (
             apply_table(self._wa_x1.T, g_right) - apply_table(self._wa_x0.T, g_x)
         )
-        if mesh.uniform:
+        if metric is None:
             edge_x = edge_x / mesh.dx
         else:
-            edge_x = edge_x / jnp.asarray(mesh.cell_area, dtype=dtype)
+            edge_x = edge_x * metric["inv_area"]
 
         # Upwind edge fluxes, y-direction (owned bottom-face edges).
         tr_y1 = apply_table(self._psi_y1, psi)  # top-face traces
@@ -338,18 +373,18 @@ class DGTransport:
             g_y = jnp.where(face0 & is_global_edge(ax_y, "first"), 0.0, g_y)
         if face_masks is not None:
             g_y = g_y * face_masks[1]
-        if not mesh.uniform:
+        if metric is not None:
             # Zonal faces carry their own latitude-line length (cos(phi_j)
             # on a sphere): a constant northward flow correctly converges.
-            g_y = g_y * jnp.asarray(mesh.face_len_y, dtype=dtype)
+            g_y = g_y * metric["face_y"]
         g_top = shift_p(g_y, y_axis, py, ax_y)
         edge_y = (
             apply_table(self._wa_y1.T, g_top) - apply_table(self._wa_y0.T, g_y)
         )
-        if mesh.uniform:
+        if metric is None:
             edge_y = edge_y / mesh.dy
         else:
-            edge_y = edge_y / jnp.asarray(mesh.cell_area, dtype=dtype)
+            edge_y = edge_y * metric["inv_area"]
 
         rhs = volume - edge_x - edge_y
         inv_mass = self._inv_mass
@@ -369,6 +404,20 @@ class DGTransport:
         if self.basis.n_dofs == 1:
             return psi
         mean = psi[0]
+        if self.basis.n_dofs == 3:
+            # dG1: the polynomial is linear, so its TRUE minimum over the
+            # element is at a corner: mean - (|s1| + |s2|)/2. Cheaper than
+            # streaming 12+ evaluation points AND a stronger guarantee
+            # (pointwise positivity everywhere, not just at quadrature
+            # points).
+            mins = mean - 0.5 * (jnp.abs(psi[1]) + jnp.abs(psi[2]))
+            deficit = mean - mins
+            theta = jnp.where(
+                mins < 0.0,
+                jnp.clip(mean / jnp.where(deficit > 0, deficit, 1.0), 0.0, 1.0),
+                1.0,
+            )
+            return jnp.concatenate([mean[None], psi[1:] * theta[None]], axis=0)
         # Streamed min over the evaluation points (the full (Q, ...) value
         # table would be the largest live intermediate in fused kernels).
         table = np.asarray(self._limit_table)
@@ -475,18 +524,19 @@ class DGTransport:
         )
 
     # -- SSP-RK time stepping ------------------------------------------------
-    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False, face_masks=None):
+    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False, face_masks=None, metric=None):
         """One SSP-RK step; ``limit`` applies the positivity limiter after
         every RK stage (SSP keeps the limited property through the convex
         combinations). When ``tvb_m`` is configured, the TVB slope limiter
-        runs before the positivity limiter at every stage."""
+        runs before the positivity limiter at every stage. ``metric``:
+        explicit per-element metric planes (tiled kernels)."""
         if limit and self.tvb_m is not None:
             lim = lambda p: self.limit_positivity(self.limit_slopes(p))
         elif limit:
             lim = self.limit_positivity
         else:
             lim = lambda p: p
-        rhs = lambda p: self.rhs(p, vel, face_masks)
+        rhs = lambda p: self.rhs(p, vel, face_masks, metric)
         if self.scheme == "rk1":
             return lim(psi + dt * rhs(psi))
         if self.scheme == "rk2":

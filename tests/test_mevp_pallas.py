@@ -88,16 +88,18 @@ def test_tiled_full_row_interpret_matches_xla_path():
 
 def test_tiled_auto_config():
     from nextsimdg_tpu.dynamics.kernels.mevp_tiled import (
-        _BLOCK_EQUIVALENTS, _TILED_VMEM_BUDGET, auto_config,
+        _BLOCK_EQUIVALENTS_EXTRA, _TILED_VMEM_BUDGET, auto_config,
     )
 
-    for n in (2048, 4096, 8192):
-        tile_x, tile_y, halo_x, halo_y = auto_config(n, n)
-        # Full-row tiles: no lane halo, tile spans the whole y axis.
-        assert tile_y == n and halo_y == 0
-        assert n % tile_x == 0 and (tile_x + 2 * halo_x) % 8 == 0
-        block_elems = (tile_x + 2 * halo_x) * tile_y
-        assert block_elems * _BLOCK_EQUIVALENTS * 4 <= _TILED_VMEM_BUDGET
+    for n_consts in (7, 12):  # uniform / graded (5 metric planes)
+        block_equivalents = 2 * (n_consts + 5) + _BLOCK_EQUIVALENTS_EXTRA
+        for n in (2048, 4096, 8192):
+            tile_x, tile_y, halo_x, halo_y = auto_config(n, n, n_consts=n_consts)
+            # Full-row tiles: no lane halo, tile spans the whole y axis.
+            assert tile_y == n and halo_y == 0
+            assert n % tile_x == 0 and (tile_x + 2 * halo_x) % 8 == 0
+            block_elems = (tile_x + 2 * halo_x) * tile_y
+            assert block_elems * block_equivalents * 4 <= _TILED_VMEM_BUDGET
     # ny not lane-aligned and defaults don't divide -> unsupported.
     assert auto_config(100, 100) is None
     # Defaults fallback when rows are too long for full-row blocks but the

@@ -133,8 +133,14 @@ def test_blocked_halo_exchange_matches_per_subcycle():
             )
         )(state, h, a, df)
         for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            # Identical math, different compilation contexts: XLA's FMA
+            # fusion choices can differ between the global and the
+            # shard_map-partitioned programs; with the rheology/drag
+            # shared-divide (mevp.subcycle_body) a 1-ulp seed amplifies
+            # ~2x per subcycle through the stress feedback. 1e-8 bounds
+            # 20 subcycles with margin; the halo exchange itself is exact.
             np.testing.assert_allclose(
-                np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-13,
+                np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11,
                 err_msg=f"{backend} halo={halo}",
             )
 
