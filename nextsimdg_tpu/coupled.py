@@ -219,11 +219,15 @@ class CoupledModel:
         widened block. TVB configs fall back to the staged spmd path
         (see transport_tiled_spmd_config)."""
         mesh = self.mesh
-        if mesh.periodic_x or mesh.periodic_y:
-            return None
         spmd = any(axis is not None for axis in self.spmd)
-        if spmd and (self.transport.tvb_m is not None or not mesh.uniform):
-            # TVB wall ghosts / graded local-mesh slicing: staged spmd path.
+        if spmd and (
+            self.transport.tvb_m is not None
+            or not mesh.uniform
+            or mesh.periodic_x
+            or mesh.periodic_y
+        ):
+            # TVB wall ghosts / graded local-mesh slicing / periodic
+            # global wrap: staged spmd path.
             return None
         if not mesh.uniform and self.transport.tvb_m is not None:
             return None  # graded TVB tolerance planes: staged path

@@ -24,7 +24,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from .dgbasis import GAUSS_POINTS_1D, GAUSS_WEIGHTS_1D, dg_basis
+from .dgbasis import GAUSS_POINTS_1D_2, GAUSS_WEIGHTS_1D_2, dg_basis
 
 #: The 4 owned planes and, for each of the 9 local nodes, the owning plane
 #: plus the (+x, +y) shift needed to reach its value from owned arrays.
@@ -100,9 +100,17 @@ class CG2Tables:
 
 @lru_cache(maxsize=None)
 def cg2_tables() -> CG2Tables:
-    xq, yq = np.meshgrid(GAUSS_POINTS_1D, GAUSS_POINTS_1D, indexing="ij")
+    # 2x2 tensor Gauss (exact through degree 3 per direction): EVERY
+    # linear table below is exact — grad/div integrands are CG2 gradients
+    # (deg <= 2 per direction) x dG1 (deg 1) <= 3, lumped mass <= 2. Only
+    # the NONLINEAR VP-law projection in the mEVP subcycle becomes
+    # standard reduced integration (4 Gauss points onto 3 dG1 modes, a
+    # well-posed least-squares fit). The Gauss-point stacks are the
+    # dominant VMEM + VPU cost of the HO subcycle body, so NQ 9 -> 4
+    # roughly halves it (docs/performance.md round 3).
+    xq, yq = np.meshgrid(GAUSS_POINTS_1D_2, GAUSS_POINTS_1D_2, indexing="ij")
     xq, yq = xq.ravel(), yq.ravel()
-    wq = np.outer(GAUSS_WEIGHTS_1D, GAUSS_WEIGHTS_1D).ravel()
+    wq = np.outer(GAUSS_WEIGHTS_1D_2, GAUSS_WEIGHTS_1D_2).ravel()
 
     n_nodes, nq = 9, len(xq)
     n_vol = np.array([shape(n, xq, yq) for n in range(n_nodes)])

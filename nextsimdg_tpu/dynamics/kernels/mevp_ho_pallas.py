@@ -31,9 +31,10 @@ from ..cg2basis import PLANES
 _VMEM_LIMIT = 110 * 1024 * 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 #: Plane-equivalents held live beyond the consts: 17 state inputs + 17
-#: outputs + ~110 loop temporaries of the traced HO body (Gauss-point
-#: stacks dominate). Consts: 29 uniform, 33 graded/spherical.
-_RESIDENT_EXTRA = 147
+#: outputs + ~65 loop temporaries of the traced HO body (the dominant
+#: Gauss-point stacks halved with the 2x2 constitutive rule; validated on
+#: hardware near the limit). Consts: 29 uniform, 33 graded/spherical.
+_RESIDENT_EXTRA = 99
 
 
 def ho_pallas_supported(nx: int, ny: int, itemsize: int = 4, n_consts: int = 29) -> bool:

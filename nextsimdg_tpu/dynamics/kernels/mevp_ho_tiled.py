@@ -28,10 +28,10 @@ from ..cg2basis import PLANES
 _VMEM_LIMIT = 110 * 1024 * 1024
 _TILED_VMEM_BUDGET = 96 * 1024 * 1024
 #: Block-equivalents resident per tile beyond the consts: 17 state
-#: scratch blocks + ~110 Mosaic stack temporaries of the HO body
-#: (Gauss-point stacks dominate; same census as mevp_ho_pallas).
-#: Consts: 29 uniform, 33 graded/spherical.
-_BLOCK_EQUIVALENTS_EXTRA = 127
+#: scratch blocks + ~65 Mosaic stack temporaries of the HO body (the
+#: Gauss-point stacks halved with the 2x2 constitutive rule; same census
+#: as mevp_ho_pallas). Consts: 29 uniform, 33 graded/spherical.
+_BLOCK_EQUIVALENTS_EXTRA = 82
 
 
 def ho_tiled_config(nx: int, ny: int, n_consts: int = 29):

@@ -83,23 +83,49 @@ _COMPUTE_PS_PER_EL = 50.5
 _HBM_BYTES_PER_S = 700e9
 
 
-def _tile_cost_per_element(nx: int, ny: int, tile_x: int, halo_x: int):
+def _prefetch_needed(n_ti: int, n_tj: int, halo_y: int) -> int:
+    """Linear tile distance a cross-round prefetch may read ahead of.
+
+    A tile of round r+1 reads interiors written by round-r tiles up to
+    this offset ahead of its own index. For a single tile row (n_ti == 1)
+    the only in-domain neighbor is t_j + 1; otherwise the farthest is the
+    (t_i + 1, t_j [+1]) neighbor at linear distance n_tj (+1 with a lane
+    halo).
+    """
+    if n_ti == 1:
+        return 1 if n_tj > 1 else 0
+    return n_tj + (1 if (halo_y and n_tj > 1) else 0)
+
+
+def _tile_cost_per_element(nx: int, ny: int, tile_x: int, halo_x: int, n_fields: int = 12):
     """Estimated time per subcycle-element [ps] with input prefetch.
 
     Per round each tile runs ``halo_x`` subcycles on its widened block;
-    the 12 input-block DMAs of tile k+1 fly behind tile k's compute, so a
-    round costs one exposed load + n_tiles x max(compute, dma).
+    when the tile count clears the cross-prefetch feasibility threshold
+    the input-block DMAs of tile k+1 fly behind tile k's compute (a round
+    costs one exposed load + n_tiles x max(compute, dma)); otherwise the
+    loads are exposed every tile.
     """
     block_x = tile_x + 2 * halo_x
     comp = _COMPUTE_PS_PER_EL * block_x * ny * halo_x
-    dma = (12 * block_x + 5 * tile_x) * ny * 4 / _HBM_BYTES_PER_S * 1e12
+    dma = (n_fields * block_x + 5 * tile_x) * ny * 4 / _HBM_BYTES_PER_S * 1e12
     n_tiles = nx // tile_x
-    per_round = dma + comp + (n_tiles - 1) * max(comp, dma)
+    # Full-row tiles: n_tj = 1, so needed = 0/1 (see _prefetch_needed).
+    cross_prefetch = (n_tiles - 2) >= _prefetch_needed(n_tiles, 1, 0)
+    if cross_prefetch:
+        per_round = dma + comp + (n_tiles - 1) * max(comp, dma)
+    else:
+        per_round = n_tiles * (dma + comp)
     return per_round / (nx * ny * halo_x)
 
 
-def auto_config(nx: int, ny: int, n_consts: int = 7):
-    """Pick (tile_x, tile_y, halo_x, halo_y) for a closed (nx, ny) grid.
+def auto_config(nx: int, ny: int, n_consts: int = 7, periodic=(False, False)):
+    """Pick (tile_x, tile_y, halo_x, halo_y) for an (nx, ny) grid.
+
+    Periodic axes: x rides wrapped (modular) halo loads with any config;
+    periodic y requires FULL-ROW tiles (the subcycle body then wraps the
+    lane dim in-block), so the (128, 512) lane-halo fallback is
+    disallowed when periodic_y is set.
 
     Preference order (measured v5e, docs/performance.md): FULL-ROW tiles
     (tile_y = ny, halo_y = 0 — no 128-lane halo, so no lane-offset
@@ -120,20 +146,26 @@ def auto_config(nx: int, ny: int, n_consts: int = 7):
         # provably divisible by the (8, 128) tiling (halo_x=4 compiles in
         # interpret mode but fails Mosaic on hardware).
         for halo_x in (8, 16, 32):
+            # Evaluate EVERY fitting tile_x (not just the widest): under
+            # the overlap-aware cost model the exposed first-load term
+            # grows with block_x while redundancy shrinks, and a config
+            # too small to clear the prefetch feasibility threshold is
+            # costed unoverlapped — the optimum is not monotone in tile_x.
             for tile_x in (512, 256, 128, 64, 32, 16, 8):
                 if (
                     nx % tile_x == 0
                     and (tile_x + 2 * halo_x) % 8 == 0
                     and (tile_x + 2 * halo_x) * ny <= budget
                 ):
-                    cost = _tile_cost_per_element(nx, ny, tile_x, halo_x)
+                    cost = _tile_cost_per_element(
+                        nx, ny, tile_x, halo_x, n_fields=n_consts + 5
+                    )
                     if best_cost is None or cost < best_cost:
                         best = (tile_x, ny, halo_x, 0)
                         best_cost = cost
-                    break  # wider tiles only reduce redundancy; found max
     if best is not None:
         return best
-    if tiled_supported(nx, ny):
+    if not periodic[1] and tiled_supported(nx, ny):
         return DEFAULT_TILE_X, DEFAULT_TILE_Y, DEFAULT_HALO_X, DEFAULT_HALO_Y
     return None
 
@@ -179,6 +211,10 @@ def mevp_subcycles_tiled(
             raise ValueError(f"halo_x/tile_x ({halo_x}/{tile_x}) not 8-aligned")
         if halo_y % 128 or (n_tj > 1 and tile_y % 128):
             raise ValueError(f"halo_y/tile_y ({halo_y}/{tile_y}) not 128-aligned")
+    px_wrap = bool(solver.mesh.periodic_x)
+    py_wrap = bool(solver.mesh.periodic_y)
+    if py_wrap and halo_y != 0:
+        raise ValueError("periodic_y requires full-row tiles (halo_y = 0)")
     block_x = tile_x + 2 * halo_x
     block_y = tile_y + 2 * halo_y
     sub_per_round = min(h for h in (halo_x, halo_y) if h > 0)
@@ -187,11 +223,41 @@ def mevp_subcycles_tiled(
     n_consts = len(const_names)
     n_fields = n_consts + 5
 
-    # Pad once: zeros everywhere (= closed walls; active=0 pins
-    # halo-exterior nodes, and no divisor fields remain since dt/m is
-    # precomputed). Consts are never overwritten, so their zero rings
-    # survive all rounds; state rings are re-zeroed in VMEM per tile.
-    pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (halo_y, halo_y)))
+    # The per-block subcycle body: closed x shifts (the halo supplies the
+    # neighbor/wrap data), and — full-row tiles on a periodic-y mesh —
+    # WRAPPING y shifts (the block spans the whole y extent, so jnp.roll
+    # in the lane dim IS the periodic condition).
+    from ..mesh import RectMesh
+    from ..mevp import MEVPSolver
+
+    body_solver = MEVPSolver(
+        RectMesh(
+            nx=block_x, ny=block_y,
+            dx=solver.mesh.dx if solver.mesh.uniform else 1.0,
+            dy=solver.mesh.dy if solver.mesh.uniform else 1.0,
+            periodic_x=False, periodic_y=(py_wrap and halo_y == 0),
+        ),
+        solver.params,
+        backend="xla",
+    )
+
+    # Pad once. Closed walls pad with zeros (active=0 pins halo-exterior
+    # nodes; no divisor fields remain since dt/m is precomputed); periodic
+    # axes pad the round-invariant CONSTS with wrapped values. State rings
+    # on a periodic-x axis are never read (the loads below fetch the wrap
+    # strips from the source-slot interior instead). Consts are never
+    # overwritten, so their rings survive all rounds.
+    def pad2(arr):
+        if halo_x:
+            if px_wrap:
+                arr = jnp.concatenate([arr[-halo_x:], arr, arr[:halo_x]], axis=0)
+            else:
+                arr = jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
+        if halo_y:
+            # periodic_y is full-row-only (guarded above): closed pad.
+            arr = jnp.pad(arr, ((0, 0), (halo_y, halo_y)))
+        return arr
+
     consts_stack = jnp.stack([pad2(consts[name]) for name in const_names])
 
     n_tiles = n_ti * n_tj
@@ -202,7 +268,15 @@ def mevp_subcycles_tiled(
     # linear offset ``needed`` ahead of its own index; the prefetch for
     # tile g+2 is issued at tile g, and with deferred waits a write is
     # only KNOWN complete two tiles after it started.
-    needed = n_tj + (1 if (halo_y and n_tj > 1) else 0)
+    needed = _prefetch_needed(n_ti, n_tj, halo_y)
+    if px_wrap:
+        # Periodic x: tile 0's LO wrap strip reads the LAST tile's
+        # interior (and the last tile's HI strip reads tile 0's) — the
+        # cross-round dependency distance becomes n_tiles - 1, so
+        # cross-round prefetch can never run ahead safely. Round-local
+        # prefetch (reading the fully-written previous-round slot)
+        # remains fine.
+        needed = n_tiles
     defer_out = (n_tiles - 2) >= needed + 2
     cross_prefetch = (n_tiles - 2) >= needed
 
@@ -225,7 +299,15 @@ def mevp_subcycles_tiled(
             return jax.lax.rem(gg // jnp.int32(n_tiles), jnp.int32(2))
 
         def load_dmas(gg, s):
-            """The 12 block-load DMA descriptors of global tile gg."""
+            """The block-load DMA descriptors of global tile gg.
+
+            Consts (wrap- or zero-padded at build time) load as one
+            window. States on a closed x axis likewise; on a PERIODIC x
+            axis the halo strips are fetched from the source slot's
+            interior at modular row offsets (the padded rings are stale —
+            interiors are the only rows ever written), three segments per
+            field. All offsets stay 8-aligned (tile_x, halo_x, nx are).
+            """
             t = jax.lax.rem(gg, jnp.int32(n_tiles))
             t_i = t // jnp.int32(n_tj)
             t_j = jax.lax.rem(t, jnp.int32(n_tj))
@@ -235,17 +317,47 @@ def mevp_subcycles_tiled(
             )
             ss = src_slot_of(gg)
             dmas = []
-            for idx in range(n_fields):
-                src = (
-                    consts_ref.at[(idx,) + window]
-                    if idx < n_consts
-                    else states_io.at[(ss, idx - n_consts) + window]
-                )
+            for idx in range(n_consts):
                 dmas.append(
                     pltpu.make_async_copy(
-                        src, scratch.at[s, idx], in_sems.at[s, idx]
+                        consts_ref.at[(idx,) + window],
+                        scratch.at[s, idx],
+                        in_sems.at[s, idx, 0],
                     )
                 )
+            for k in range(5):
+                idx = n_consts + k
+                if not px_wrap:
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            states_io.at[(ss, k) + window],
+                            scratch.at[s, idx],
+                            in_sems.at[s, idx, 0],
+                        )
+                    )
+                    continue
+                ywin = pl.ds(t_j * tile_y, block_y)
+                lo = jax.lax.rem(
+                    t_i * tile_x - jnp.int32(halo_x) + jnp.int32(nx),
+                    jnp.int32(nx),
+                )
+                hi = jax.lax.rem(t_i * tile_x + jnp.int32(tile_x), jnp.int32(nx))
+                segs = (
+                    (pl.ds(pl.multiple_of(halo_x + lo, 8), halo_x),
+                     pl.ds(0, halo_x)),
+                    (pl.ds(halo_x + t_i * tile_x, tile_x),
+                     pl.ds(halo_x, tile_x)),
+                    (pl.ds(pl.multiple_of(halo_x + hi, 8), halo_x),
+                     pl.ds(halo_x + tile_x, halo_x)),
+                )
+                for m, (src_rows, dst_rows) in enumerate(segs):
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            states_io.at[ss, k, src_rows, ywin],
+                            scratch.at[s, idx, dst_rows, :],
+                            in_sems.at[s, idx, m],
+                        )
+                    )
             return dmas
 
         def out_dmas(gg):
@@ -312,7 +424,7 @@ def mevp_subcycles_tiled(
         )
 
         def body(_, carry):
-            return solver.subcycle_body(carry, kconsts, dt)
+            return body_solver.subcycle_body(carry, kconsts, dt)
 
         final = jax.lax.fori_loop(0, n_sub, body, carry0)
 
@@ -363,7 +475,8 @@ def mevp_subcycles_tiled(
     scratch_shapes = [
         pltpu.VMEM((2, n_fields, block_x, block_y), dtype),
         pltpu.VMEM((2, 5, block_x, block_y), dtype),
-        pltpu.SemaphoreType.DMA((2, n_fields)),
+        # 3 sems per field: periodic-x state loads split into 3 segments.
+        pltpu.SemaphoreType.DMA((2, n_fields, 3)),
         pltpu.SemaphoreType.DMA((2, 5)),
     ]
 

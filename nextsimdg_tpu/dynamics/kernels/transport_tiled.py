@@ -67,8 +67,6 @@ def transport_tiled_config(model, n_tracers: int = 3):
     + ``transport_substeps_tiled_spmd`` instead.
     """
     mesh = model.mesh
-    if mesh.periodic_x or mesh.periodic_y:
-        return None
     if not mesh.uniform and model.transport.tvb_m is not None:
         # The TVB tolerance M dx^2 would need per-element planes inside
         # the limiter; graded TVB configs keep the staged path.
@@ -129,6 +127,8 @@ def transport_substeps_tiled(
         halo_x = _HALO_X
         k_cap = (_HALO_X - 1) // _rings_per_substep(model.transport)
     nx, ny = mesh.nx, mesh.ny
+    px_wrap = bool(mesh.periodic_x)
+    py_wrap = bool(mesh.periodic_y)
     if nx % tile_x:
         raise ValueError(f"grid rows ({nx}) not divisible by tile_x ({tile_x})")
     n_ti = nx // tile_x
@@ -139,15 +139,23 @@ def transport_substeps_tiled(
     dtype = tracers.dtype
 
     # Effective face masks: the global wall columns are zeroed here (the
-    # staged path's iota select), padded rings are zero-filled (no flux
-    # through out-of-domain faces).
+    # staged path's iota select) — periodic axes have no walls; padded
+    # rings are zero-filled on closed axes (no flux through out-of-domain
+    # faces) and wrapped on periodic ones.
     ones = jnp.ones((nx, ny), dtype)
     fx = ones if face_masks is None else face_masks[0].astype(dtype)
     fy = ones if face_masks is None else face_masks[1].astype(dtype)
-    fx = fx.at[0, :].set(0.0)
-    fy = fy.at[:, 0].set(0.0)
+    if not px_wrap:
+        fx = fx.at[0, :].set(0.0)
+    if not py_wrap:
+        fy = fy.at[:, 0].set(0.0)
 
-    pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
+    def pad2(arr):
+        if px_wrap:
+            return jnp.concatenate(
+                [arr[-halo_x:], arr, arr[:halo_x]], axis=0
+            )
+        return jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
     if qv is None:
         const_planes = [u, v, fx, fy]
         qv_counts = None
@@ -175,14 +183,19 @@ def transport_substeps_tiled(
     consts_stack = jnp.stack([pad2(a) for a in const_planes])
     states0 = jnp.stack([pad2(tracers[ki, ti]) for ki in range(K) for ti in range(T)])
 
-    # Local transport operator on the widened block (closed shifts; the
-    # halo supplies real neighbor data, block edges are discarded rings).
-    # Non-uniform geometry travels entirely via the metric const planes,
-    # so the shim mesh is a unit uniform mesh in that case.
+    # Local transport operator on the widened block: closed x shifts (the
+    # halo supplies the neighbor/wrap data); full-row tiles on a
+    # periodic-y mesh wrap the lane dim IN-BLOCK (the block spans the
+    # whole y extent). Non-uniform geometry travels entirely via the
+    # metric const planes, so the shim mesh is a unit uniform mesh then.
     if metric is None:
-        local_mesh = RectMesh(nx=block_x, ny=ny, dx=mesh.dx, dy=mesh.dy)
+        local_mesh = RectMesh(
+            nx=block_x, ny=ny, dx=mesh.dx, dy=mesh.dy, periodic_y=py_wrap
+        )
     else:
-        local_mesh = RectMesh(nx=block_x, ny=ny, dx=1.0, dy=1.0)
+        local_mesh = RectMesh(
+            nx=block_x, ny=ny, dx=1.0, dy=1.0, periodic_y=py_wrap
+        )
     local_tr = DGTransport(
         local_mesh, degree=model.transport.basis.degree,
         scheme=model.transport.scheme, tvb_m=model.transport.tvb_m,
@@ -201,26 +214,51 @@ def transport_substeps_tiled(
         in_c.wait()
         in_s.wait()
 
-        # Global-edge tiles: fill the out-of-domain strips of the state
-        # block with the REPLICATED wall row (fresh output buffers have
-        # uninitialized rings). Fluxes through those strips are already
-        # killed by the zeroed wall face masks / zero-padded velocity;
-        # replication (not zeros) is what makes the TVB limiter's
-        # mean differences vanish at the wall — exactly the staged path's
-        # zero-gradient ghosts. Consts keep their jnp.pad zeros.
-        @pl.when(ti == 0)
-        def _ghost_lo():
-            wall = s_scr[:, halo_x, :]
-            s_scr[:, :halo_x, :] = jnp.broadcast_to(
-                wall[:, None, :], (n_st, halo_x, ny)
-            )
+        # Global-edge tiles, closed x: fill the out-of-domain strips of
+        # the state block with the REPLICATED wall row (fresh output
+        # buffers have uninitialized rings). Fluxes through those strips
+        # are already killed by the zeroed wall face masks / zero-padded
+        # velocity; replication (not zeros) is what makes the TVB
+        # limiter's mean differences vanish at the wall — exactly the
+        # staged path's zero-gradient ghosts. Consts keep their padding.
+        # Periodic x: the ghost strips are the OPPOSITE interior rows of
+        # the padded buffer (wrap halos; interiors are always fresh) —
+        # real data whose per-substep ring invalidation the K_CAP budget
+        # already covers, so no refresh is needed either.
+        if px_wrap:
+            @pl.when(ti == 0)
+            def _ghost_lo():
+                cp = pltpu.make_async_copy(
+                    states_ref.at[:, pl.ds(nx, halo_x), :],
+                    s_scr.at[:, pl.ds(0, halo_x), :],
+                    sems.at[3],
+                )
+                cp.start()
+                cp.wait()
 
-        @pl.when(ti == n_ti - 1)
-        def _ghost_hi():
-            wall = s_scr[:, halo_x + tile_x - 1, :]
-            s_scr[:, halo_x + tile_x :, :] = jnp.broadcast_to(
-                wall[:, None, :], (n_st, halo_x, ny)
-            )
+            @pl.when(ti == n_ti - 1)
+            def _ghost_hi():
+                cp = pltpu.make_async_copy(
+                    states_ref.at[:, pl.ds(halo_x, halo_x), :],
+                    s_scr.at[:, pl.ds(halo_x + tile_x, halo_x), :],
+                    sems.at[3],
+                )
+                cp.start()
+                cp.wait()
+        else:
+            @pl.when(ti == 0)
+            def _ghost_lo():
+                wall = s_scr[:, halo_x, :]
+                s_scr[:, :halo_x, :] = jnp.broadcast_to(
+                    wall[:, None, :], (n_st, halo_x, ny)
+                )
+
+            @pl.when(ti == n_ti - 1)
+            def _ghost_hi():
+                wall = s_scr[:, halo_x + tile_x - 1, :]
+                s_scr[:, halo_x + tile_x :, :] = jnp.broadcast_to(
+                    wall[:, None, :], (n_st, halo_x, ny)
+                )
 
         if qv_counts is None:
             kmasks = (c_scr[2], c_scr[3])
@@ -251,7 +289,11 @@ def transport_substeps_tiled(
             # Keep the zero-gradient wall ghosts valid THROUGH the substep
             # loop (a substep overwrites the ghost rows with garbage; the
             # wall rows themselves are valid interior for edge tiles and
-            # their next limiter pass reads the ghost means).
+            # their next limiter pass reads the ghost means). Periodic x:
+            # ghosts are real wrap data — no refresh (ring invalidation
+            # is budgeted by K_CAP).
+            if px_wrap:
+                return p
             lo = jnp.where(
                 is_first,
                 jnp.broadcast_to(p[:, :, halo_x : halo_x + 1, :], p[:, :, :halo_x, :].shape),
@@ -293,7 +335,7 @@ def transport_substeps_tiled(
         scratch_shapes=[
             pltpu.VMEM((n_const, block_x, ny), dtype),
             pltpu.VMEM((n_st, block_x, ny), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         # NO aliasing: later tiles read neighbors' PRE-round halo strips.

@@ -204,9 +204,10 @@ class MEVPSolver:
         # 2.13x at 2048^2, 4.27x at 4096^2 on v5e (docs/performance.md).
         if (
             self.mesh.n_elements >= 1_000_000
-            and not self.mesh.periodic_x
-            and not self.mesh.periodic_y
-            and auto_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
+            and auto_config(
+                self.mesh.nx, self.mesh.ny, n_consts=n_consts,
+                periodic=(self.mesh.periodic_x, self.mesh.periodic_y),
+            )
             is not None
         ):
             return "tiled"
@@ -384,6 +385,7 @@ class MEVPSolver:
                 cfg = auto_config(
                     self.mesh.nx, self.mesh.ny,
                     n_consts=7 if self.mesh.uniform else 12,
+                    periodic=(self.mesh.periodic_x, self.mesh.periodic_y),
                 )
                 if cfg is not None:
                     kwargs = dict(

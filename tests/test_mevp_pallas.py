@@ -295,3 +295,92 @@ def test_tiled_transport_interpret_matches_staged_path(case):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13
         )
+
+
+def test_tiled_cross_prefetch_and_deferred_writes_match_xla():
+    """Exercise the cross-round prefetch + 2-tile-deferred write-back
+    paths (ADVICE r02): full-row tiles with enough x-tiles that
+    cross_prefetch AND defer_out are enabled (nx=64, tile_x=8, halo_x=4
+    -> n_tiles=8, needed=1), over 11 subcycles = rounds of 4+4+3
+    (a remainder round), in interpret mode against the XLA path."""
+    import jax
+
+    from nextsimdg_tpu.dynamics import MEVPParams, MEVPSolver, RectMesh, VelocityState
+    from nextsimdg_tpu.dynamics.kernels import mevp_tiled
+    from nextsimdg_tpu.dynamics.kernels.mevp_tiled import mevp_subcycles_tiled
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+
+    # Static feasibility: this config must actually enable both flags.
+    n_ti, n_tj = 64 // 8, 1
+    needed = mevp_tiled._prefetch_needed(n_ti, n_tj, 0)
+    assert (n_ti * n_tj - 2) >= needed  # cross_prefetch
+    assert (n_ti * n_tj - 2) >= needed + 2  # defer_out
+
+    nx, ny = 64, 16
+    mesh = RectMesh(nx=nx, ny=ny, dx=512e3 / nx, dy=512e3 / ny)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((nx, ny), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(nx, ny, dtype)
+
+    xla = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    mask = xla.boundary_mask(dtype)
+    expected = xla.step(state, h, a, df, mask, 600.0, 11)
+
+    consts = xla.step_consts(state, h, a, df, mask, 600.0)
+    carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
+    out = jax.jit(
+        lambda c, k: mevp_subcycles_tiled(
+            xla, c, k, 600.0, 11,
+            tile_x=8, tile_y=ny, halo_x=4, halo_y=0, interpret=True,
+        )
+    )(carry0, consts)
+    for k, name in enumerate(("u", "v", "s11", "s22", "s12")):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(getattr(expected, name)),
+            rtol=1e-12, atol=1e-13, err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("periodic", [(True, False), (False, True), (True, True)])
+@pytest.mark.parametrize("n", [16, 32])
+def test_tiled_periodic_interpret_matches_xla(periodic, n):
+    """Periodic domains on the tiled kernel: wrapped (modular) halo loads
+    along x, in-block lane wrap along y (full-row tiles) == XLA path.
+    n=32 gives 4 x-tiles — enough that cross-round prefetch WOULD engage
+    (it must stay disabled under periodic x: tile 0's wrap strip depends
+    on the LAST tile of the previous round; regression for the stale
+    wrap-strip bug caught on hardware)."""
+    from nextsimdg_tpu.dynamics.kernels.mevp_tiled import mevp_subcycles_tiled
+
+    px, py = periodic
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n,
+                    periodic_x=px, periodic_y=py)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    # Non-constant forcing so the wrap actually moves distinct data.
+    import numpy as _np
+    gx = jnp.asarray(_np.linspace(6.0, 10.0, n)[:, None] * _np.ones((1, n)))
+    forcing = DynamicsForcing(
+        u_atm=gx, v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    xla = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    mask = xla.boundary_mask(dtype)
+    state = VelocityState.zeros(n, n, dtype)
+    expected = xla.step(state, h, a, forcing, mask, 600.0, 10)
+
+    consts = xla.step_consts(state, h, a, forcing, mask, 600.0)
+    carry0 = (state.u, state.v, state.s11, state.s22, state.s12)
+    out = mevp_subcycles_tiled(
+        xla, carry0, consts, 600.0, 10,
+        tile_x=8, tile_y=n, halo_x=4, halo_y=0, interpret=True,
+    )
+    for k, name in enumerate(("u", "v", "s11", "s22", "s12")):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(getattr(expected, name)),
+            rtol=1e-12, atol=1e-13, err_msg=f"{name} periodic={periodic}",
+        )
