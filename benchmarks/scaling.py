@@ -6,12 +6,23 @@ efficiency relative to 1 device. On a TPU pod slice this exercises ICI/DCN
 halo exchange; under ``JAX_PLATFORMS=cpu`` with
 ``--xla_force_host_platform_device_count=8`` it validates the harness.
 
-Usage: ``python benchmarks/scaling.py [local_n_per_device]``
+Four multi-chip paths are measurable: ``gspmd`` (auto-partitioned global
+step), ``shardmap`` (explicit per-subcycle width-1 ppermute halos),
+``blocked`` (ghost-zone exchange, one ppermute pair per axis per H
+subcycles, fused Pallas local solve), and ``rdma`` (in-kernel
+``make_async_remote_copy`` overlapped with the interior pass). The
+harness also prints each strategy's ANALYTIC per-device communication
+budget (messages + bytes per coupled step) — the quantity the strategies
+trade against redundant compute, and the basis of the >=85% weak-scaling
+design target when real multi-chip hardware is available.
+
+Usage: ``python benchmarks/scaling.py [local_n_per_device] [path ...]``
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -25,20 +36,55 @@ from nextsimdg_tpu.coupled import CoupledModel
 from nextsimdg_tpu.dynamics import RectMesh
 from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
 from nextsimdg_tpu.parallel import SpatialPartition, make_spatial_mesh
+from nextsimdg_tpu.parallel.shardmap import build_sharded_coupled_model
 from nextsimdg_tpu.state import Forcing
 
+#: Ghost width of the blocked/rdma exchanges in this harness.
+BLOCK_HALO = 8
 
-def run_once(devices, local_n: int, chunk: int = 32) -> float:
+
+def comm_budget(local_n: int, n_subcycles: int = 100, itemsize: int = 4) -> dict:
+    """Analytic per-device halo traffic per coupled step, by strategy.
+
+    Counts the mEVP subcycle loop only (the dominant exchanger; transport
+    adds one ghost-zone exchange per CFL-substep round). A 2-D ('X','Y')
+    interior device exchanges with 4 neighbors; strip width 1 column/row
+    of ``local_n`` elements per plane.
+    """
+    strip = local_n * itemsize
+    h = BLOCK_HALO
+    rounds = math.ceil(n_subcycles / h)
+    # Per-subcycle ppermute: every neighbor shift of the 13-shift subcycle
+    # crosses the block edge once -> ~13 strips/axis-direction-pair; JAX
+    # fuses the ppermutes per shift, so messages ~ shifts x 2 axes.
+    per_sub = dict(
+        messages=n_subcycles * 13 * 2,
+        bytes=n_subcycles * 13 * 2 * strip,
+    )
+    # Blocked ghost zones: one ppermute pair per axis per h subcycles,
+    # carrying h-wide strips of the 12 planes (5 state + 7 consts are
+    # widened per round/step respectively; count the per-round 5 + the
+    # once-per-step 7).
+    blocked = dict(
+        messages=rounds * 2 * 2,
+        bytes=(rounds * 5 + 7) * 2 * 2 * h * strip,
+    )
+    # RDMA: same volume as blocked, but carried inside the kernel and
+    # overlapped with the interior pass (latency hidden, volume equal).
+    rdma = dict(blocked)
+    return {"shardmap": per_sub, "blocked": blocked, "rdma": rdma}
+
+
+def run_once(devices, local_n: int, chunk: int = 32, path: str = "gspmd") -> float:
     """Return elements/s for len(devices) devices, local_n^2 elems each."""
-    k = len(devices)
     mesh = make_spatial_mesh(devices=devices)
     px, py = mesh.devices.shape
     nx, ny = local_n * px, local_n * py
     dtype = jnp.float32
 
     rmesh = RectMesh(nx=nx, ny=ny, dx=2e3, dy=2e3)
-    model = CoupledModel(rmesh, degree=1, n_subcycles=100)
-    state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype)
+    state_model = CoupledModel(rmesh, degree=1, n_subcycles=100)
+    state = state_model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype)
     full = lambda v: jnp.full((nx, ny), v, dtype)
     pf = Forcing(tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
                  lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0))
@@ -48,7 +94,24 @@ def run_once(devices, local_n: int, chunk: int = 32) -> float:
     part = SpatialPartition(mesh)
     state, pf, df = part.shard(state), part.shard(pf), part.shard(df)
 
-    run = lambda s: model.run(s, pf, df, 600.0, chunk, do_thermo=False)
+    if path == "gspmd":
+        model = state_model
+        run = lambda s: model.run(s, pf, df, 600.0, chunk, do_thermo=False)
+    else:
+        kwargs = {}
+        if path == "blocked":
+            kwargs = dict(mevp_backend="blocked", mevp_block_halo=BLOCK_HALO)
+        elif path == "rdma":
+            backend = "rdma" if jax.default_backend() == "tpu" else "rdma-interpret"
+            kwargs = dict(mevp_backend=backend, mevp_block_halo=BLOCK_HALO)
+        _, sharded_step = build_sharded_coupled_model(
+            rmesh, mesh, degree=1, n_subcycles=100, **kwargs
+        )
+
+        def run(s):
+            for _ in range(chunk):
+                s = sharded_step(s, pf, df, 600.0, do_thermo=False)
+            return s
 
     def run_synced(s):
         # block_until_ready through the axon tunnel can return while work
@@ -67,24 +130,39 @@ def run_once(devices, local_n: int, chunk: int = 32) -> float:
 
 
 def main(argv) -> None:
-    local_n = int(argv[1]) if len(argv) > 1 else 128
+    args = argv[1:]
+    local_n = int(args[0]) if args and args[0].isdigit() else 128
+    paths = [a for a in args if not a.isdigit()] or ["gspmd"]
     devices = jax.devices()
     counts = [1]
     while counts[-1] * 2 <= len(devices):
         counts.append(counts[-1] * 2)
 
-    base = None
-    for k in counts:
-        throughput = run_once(devices[:k], local_n)
-        if base is None:
-            base = throughput
-        efficiency = throughput / (base * k)
+    for name, budget in comm_budget(local_n).items():
         print(json.dumps({
-            "devices": k,
-            "elements_per_s": float(f"{throughput:.4g}"),
-            "weak_scaling_efficiency": float(f"{efficiency:.4g}"),
+            "comm_budget_per_device_per_step": name,
+            "messages": budget["messages"],
+            "bytes": budget["bytes"],
             "local_grid": f"{local_n}x{local_n}",
         }), flush=True)
+
+    for path in paths:
+        base = None
+        # The explicit paths dispatch per step (no scan); use a smaller
+        # chunk so harness runs stay short.
+        chunk = 32 if path == "gspmd" else 8
+        for k in counts:
+            throughput = run_once(devices[:k], local_n, chunk=chunk, path=path)
+            if base is None:
+                base = throughput
+            efficiency = throughput / (base * k)
+            print(json.dumps({
+                "devices": k,
+                "path": path,
+                "elements_per_s": float(f"{throughput:.4g}"),
+                "weak_scaling_efficiency": float(f"{efficiency:.4g}"),
+                "local_grid": f"{local_n}x{local_n}",
+            }), flush=True)
 
 
 if __name__ == "__main__":

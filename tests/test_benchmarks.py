@@ -23,3 +23,21 @@ def test_advection_benchmark_small():
     result = run_benchmarks.bench_advection(n=16, degree=1)
     assert result["value"] > 0
     assert result["unit"] == "elements/s"
+
+
+def test_scaling_harness_explicit_paths():
+    """The shardmap/blocked paths of the scaling harness run and report
+    finite throughput on the virtual mesh; the comm-budget table orders
+    blocked below per-subcycle traffic."""
+    import jax
+    import scaling
+
+    budget = scaling.comm_budget(64)
+    assert budget["blocked"]["messages"] < budget["shardmap"]["messages"]
+    assert budget["blocked"]["bytes"] < budget["shardmap"]["bytes"]
+    assert budget["rdma"]["bytes"] == budget["blocked"]["bytes"]
+
+    devices = jax.devices()[:2]
+    for path in ("shardmap", "blocked"):
+        t = scaling.run_once(devices, local_n=8, chunk=1, path=path)
+        assert t > 0
