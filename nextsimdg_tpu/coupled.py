@@ -158,6 +158,27 @@ class CoupledModel:
             new_ice=jnp.zeros((nx, ny), dtype),
         )
 
+    def _local_ocean_mask(self, dtype):
+        """This device's block of the (global) ocean mask.
+
+        Outside shard_map the mask IS the local block. Inside, the model
+        holds the GLOBAL mask (a trace-time constant) and every device
+        slices its own (nx, ny) block by mesh coordinates — masks stay a
+        plain constructor argument under the explicit SPMD driver.
+        """
+        if self.ocean_mask is None:
+            return None
+        ocean = self.ocean_mask.astype(dtype)
+        ax_x, ax_y = self.spmd
+        if ax_x is None and ax_y is None:
+            return ocean
+        from jax import lax
+
+        bx, by = self.mesh.nx, self.mesh.ny  # the LOCAL block shape
+        ix = lax.axis_index(ax_x) if ax_x is not None else 0
+        iy = lax.axis_index(ax_y) if ax_y is not None else 0
+        return lax.dynamic_slice(ocean, (ix * bx, iy * by), (bx, by))
+
     def node_mask(self, dtype):
         mask = self.mevp.boundary_mask(dtype=dtype)
         if self.ocean_mask is None:
@@ -165,7 +186,7 @@ class CoupledModel:
         from .dynamics.stencil import shift_m
 
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
-        ocean = self.ocean_mask.astype(dtype)
+        ocean = self._local_ocean_mask(dtype)
         if self.is_high_order:
             from .dynamics.mevp_ho import HOField
 
@@ -190,7 +211,7 @@ class CoupledModel:
         from .dynamics.transport import face_masks_from_land
 
         return face_masks_from_land(
-            self.ocean_mask.astype(dtype),
+            self._local_ocean_mask(dtype),
             self.mesh.periodic_x, self.mesh.periodic_y, self.spmd,
         )
 
@@ -430,7 +451,7 @@ class CoupledModel:
             if self.ocean_mask is not None:
                 # No ocean under land elements: the column physics (incl.
                 # new-ice formation in open "water") must not act there.
-                m = self.ocean_mask.astype(dtype)
+                m = self._local_ocean_mask(dtype)
                 keep = lambda new, old: jnp.where(m == 1.0, new, old)
                 updated = dataclasses.replace(
                     updated,

@@ -27,18 +27,20 @@ from ..cg2basis import PLANES
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 _TILED_VMEM_BUDGET = 96 * 1024 * 1024
-#: Block-equivalents resident per tile beyond the consts: 17 state
-#: scratch blocks + ~65 Mosaic stack temporaries of the HO body (the
-#: Gauss-point stacks halved with the 2x2 constitutive rule; same census
-#: as mevp_ho_pallas). Consts: 29 uniform, 33 graded/spherical.
-_BLOCK_EQUIVALENTS_EXTRA = 82
+#: Mosaic stack temporaries of the HO body (the Gauss-point stacks
+#: halved with the 2x2 constitutive rule; same census as mevp_ho_pallas).
+#: The input blocks (n_consts + 17 state planes) are DOUBLE-buffered so
+#: the next tile's loads fly behind this tile's compute.
+_STACK_EQUIVALENTS = 65
 
 
 def ho_tiled_config(nx: int, ny: int, n_consts: int = 29):
     """(tile_x, halo_x) full-row tile config, or None if unsupported."""
     if ny % 128:
         return None
-    budget = _TILED_VMEM_BUDGET // ((n_consts + _BLOCK_EQUIVALENTS_EXTRA) * 4)
+    budget = _TILED_VMEM_BUDGET // (
+        (2 * (n_consts + 17) + _STACK_EQUIVALENTS) * 4
+    )
     best = None
     best_cost = None
     for halo_x in (8, 16, 32):
@@ -115,47 +117,72 @@ def ho_subcycles_tiled(
 
     def round_kernel(n_sub):
         def kernel(consts_ref, states_ref, out_ref, *rest):
+            # Double-buffered input blocks: tile ti+1's 46-plane load
+            # (the bulk of the round's HBM traffic, ~30 MB/tile at 1024^2)
+            # flies behind tile ti's subcycle compute; only the round's
+            # first load is exposed. Tiles read the PRE-round state
+            # (states_ref) and write a separate out_ref, so the prefetch
+            # never races the interior write-backs.
             c_scr, s_scr, sems = rest
             ti = pl.program_id(0)
-            row0 = ti * tile_x
-            window = (slice(None), pl.ds(row0, block_x), slice(None))
+            slot = jax.lax.rem(ti, jnp.int32(2))
 
-            in_c = pltpu.make_async_copy(consts_ref.at[window], c_scr, sems.at[0])
-            in_s = pltpu.make_async_copy(states_ref.at[window], s_scr, sems.at[1])
-            in_c.start()
-            in_s.start()
-            in_c.wait()
-            in_s.wait()
+            def load_dmas(t, s):
+                window = (slice(None), pl.ds(t * tile_x, block_x), slice(None))
+                return (
+                    pltpu.make_async_copy(
+                        consts_ref.at[window], c_scr.at[s], sems.at[s, 0]
+                    ),
+                    pltpu.make_async_copy(
+                        states_ref.at[window], s_scr.at[s], sems.at[s, 1]
+                    ),
+                )
+
+            @pl.when(ti == 0)
+            def _first():
+                for dma in load_dmas(jnp.int32(0), jnp.int32(0)):
+                    dma.start()
+
+            for dma in load_dmas(ti, slot):
+                dma.wait()
+            if n_ti > 1:
+                @pl.when(ti + 1 < n_ti)
+                def _prefetch():
+                    for dma in load_dmas(ti + 1, 1 - slot):
+                        dma.start()
 
             # Global-edge tiles: zero the out-of-domain state strips (the
             # padded rings of a fresh output buffer are uninitialized;
             # zeros ARE the closed boundary). Consts keep jnp.pad zeros.
             @pl.when(ti == 0)
             def _zero_lo():
-                s_scr[:, :halo_x, :] = jnp.zeros_like(s_scr[:, :halo_x, :])
+                s_scr[0, :, :halo_x, :] = jnp.zeros_like(
+                    s_scr[0, :, :halo_x, :]
+                )
 
             @pl.when(ti == n_ti - 1)
             def _zero_hi():
-                s_scr[:, halo_x + tile_x :, :] = jnp.zeros_like(
-                    s_scr[:, halo_x + tile_x :, :]
+                s_scr[slot, :, halo_x + tile_x :, :] = jnp.zeros_like(
+                    s_scr[slot, :, halo_x + tile_x :, :]
                 )
 
             kconsts = {
-                name: c_scr[idx] for idx, name in enumerate(const_names)
+                name: c_scr[slot, idx] for idx, name in enumerate(const_names)
             }
-            carry = _unflatten_state([s_scr[k] for k in range(n_s)])
+            carry = _unflatten_state([s_scr[slot, k] for k in range(n_s)])
 
             def body(_, c):
                 return solver.subcycle_body(c, kconsts, dt)
 
             final = jax.lax.fori_loop(0, n_sub, body, carry)
+            row0 = ti * tile_x
             for k, plane in enumerate(_flatten_state(final)):
-                s_scr[k] = plane
+                s_scr[slot, k] = plane
 
             out = pltpu.make_async_copy(
-                s_scr.at[:, pl.ds(halo_x, tile_x), :],
+                s_scr.at[slot, :, pl.ds(halo_x, tile_x), :],
                 out_ref.at[:, pl.ds(halo_x + row0, tile_x), :],
-                sems.at[2],
+                sems.at[slot, 2],
             )
             out.start()
             out.wait()
@@ -164,9 +191,9 @@ def ho_subcycles_tiled(
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch_shapes = [
-        pltpu.VMEM((n_c, block_x, ny), dtype),
-        pltpu.VMEM((n_s, block_x, ny), dtype),
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.VMEM((2, n_c, block_x, ny), dtype),
+        pltpu.VMEM((2, n_s, block_x, ny), dtype),
+        pltpu.SemaphoreType.DMA((2, 3)),
     ]
     out_shape = jax.ShapeDtypeStruct((n_s, pad_x, ny), dtype)
 

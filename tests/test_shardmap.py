@@ -364,6 +364,33 @@ def test_rdma_halo_exchange_matches_per_subcycle(shape, spmd, periodic):
         )
 
 
+def test_shardmap_coupled_with_land_mask_matches_single_device():
+    """Coastline mask under shard_map: no-slip coastal nodes + impermeable
+    faces ride the blocked mEVP and the spmd tiled transport together."""
+    from nextsimdg_tpu.dynamics.landmask import synthetic_coastline
+
+    mesh, _, state, pf, df = global_setup(n=16)
+    coast = synthetic_coastline(16)
+    from nextsimdg_tpu.coupled import CoupledModel
+
+    ref_model = CoupledModel(mesh, degree=1, n_subcycles=10, ocean_mask=coast)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    _, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10, ocean_mask=coast,
+        mevp_backend="blocked-interpret", mevp_block_halo=4,
+        transport_backend="tiled-interpret",
+    )
+    got = sharded_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-11
+        )
+    land = coast == 0.0
+    assert np.all(np.asarray(got.velocity.u)[land] == 0.0)
+
+
 def test_rdma_coupled_matches_blocked():
     """The flagship coupled model on its own 2-D ('X','Y') mesh with
     mevp_backend='rdma' (in-kernel overlapped halo exchange) == the
