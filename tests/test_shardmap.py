@@ -145,6 +145,62 @@ def test_blocked_halo_exchange_matches_per_subcycle():
             )
 
 
+def test_blocked_halo_exchange_periodic_matches_per_subcycle():
+    """Ghost-zone blocked exchange on a PERIODIC global domain: the
+    halo_widen ring wrap must reproduce the single-device wrap exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from nextsimdg_tpu.dynamics.mevp import MEVPSolver, MEVPParams, VelocityState
+
+    n = 32
+    mesh = RectMesh(
+        nx=n, ny=n, dx=512e3 / n, dy=512e3 / n,
+        periodic_x=True, periodic_y=True,
+    )
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    gx = jnp.asarray(np.linspace(6.0, 10.0, n)[:, None] * np.ones((1, n)))
+    df = DynamicsForcing(
+        u_atm=gx, v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 12)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    local = RectMesh(
+        nx=n // 4, ny=n // 2, dx=mesh.dx, dy=mesh.dy,
+        periodic_x=True, periodic_y=True,
+    )
+    solver = MEVPSolver(
+        local, MEVPParams(), backend="blocked", spmd=("X", "Y"), block_halo=4
+    )
+    spec = P("X", "Y")
+
+    def step_local(s, hh, aa, d):
+        mask = solver.boundary_mask(dtype)
+        return solver.step(s, hh, aa, d, mask, 600.0, 12)
+
+    got = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(lambda _: spec, state),
+                spec, spec, jax.tree.map(lambda _: spec, df),
+            ),
+            out_specs=jax.tree.map(lambda _: spec, state),
+            check_vma=False,
+        )
+    )(state, h, a, df)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11
+        )
+
+
 def test_ho_blocked_halo_exchange_matches_per_subcycle():
     """Higher-order (CG2/dG1) solver under shard_map: the per-subcycle
     ppermute 'xla' path AND the ghost-zone 'blocked' path (whose widened
