@@ -33,10 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 110 * 1024 * 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 
-_CONST_NAMES = (
-    "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
-)
-
 
 def fused_dynamics_supported(model, n_tracers: int = 3) -> bool:
     """Whether the single-block fused dynamics kernel applies."""
@@ -57,6 +53,8 @@ def fused_dynamics_supported(model, n_tracers: int = 3) -> bool:
     planes = 12 + 12 + model.transport.basis.n_dofs * n_tracers + 33
     if model.ocean_mask is not None:
         planes += 2
+    if model.mevp.params.a_weighted_stress:
+        planes += 1  # the a_node drag/wind weighting const plane
     itemsize = 4
     return mesh.nx * mesh.ny * itemsize * planes <= _VMEM_BUDGET
 
@@ -76,8 +74,11 @@ def fused_dynamics_pallas(
     transport = model.transport
     mesh = model.mesh
     u = state_arrays[0]
-    const_arrays = [consts[name] for name in _CONST_NAMES]
-    n_consts = len(_CONST_NAMES)
+    # Generic over the per-step const planes (7 on the uniform meshes this
+    # kernel requires; +a_node when A-weighted stresses are enabled).
+    const_names = tuple(sorted(consts))
+    const_arrays = [consts[name] for name in const_names]
+    n_consts = len(const_names)
     n_masks = 0 if face_masks is None else 2
     mask_arrays = [] if face_masks is None else list(face_masks)
 
@@ -90,7 +91,7 @@ def fused_dynamics_pallas(
         out_tracer = refs[n_consts + n_masks + 11]
 
         kconsts = {
-            name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)
+            name: ref[:] for name, ref in zip(const_names, const_refs)
         }
         kmasks = None
         if n_masks:

@@ -55,10 +55,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 
-_CONST_NAMES = (
-    "strength", "dt_m", "active", "b_u", "b_v", "u_ocean", "v_ocean",
-)
-
 
 def mevp_round_rdma(
     local_solver,  # MEVPSolver on the LOCAL (nx, ny) mesh (static)
@@ -91,13 +87,16 @@ def mevp_round_rdma(
     nxe = nxw  # x extent of the extended y strips/bands
 
     states = jnp.stack(state_arrays)  # (5, nx, ny)
-    consts_stack = jnp.stack([consts_w[name] for name in _CONST_NAMES])
+    # Generic over the per-step const planes (7 uniform; +a_node when
+    # A-weighted — the solver guarantees a uniform local mesh here).
+    const_names = tuple(sorted(consts_w))
+    consts_stack = jnp.stack([consts_w[name] for name in const_names])
     assert consts_stack.shape[1:] == (nxw, nyw), consts_stack.shape
 
     # Scratch layout (name -> shape), built to match the kernel unpack.
     scratch_shapes = [
         pltpu.VMEM((5, nx, ny), dtype),      # s_vmem: state block
-        pltpu.VMEM((7, nxw, nyw), dtype),    # c_vmem: widened consts
+        pltpu.VMEM((len(const_names), nxw, nyw), dtype),  # c_vmem: widened consts
         pltpu.SemaphoreType.DMA((4,)),       # local copy sems
     ]
     if ax_x is not None:
@@ -224,7 +223,7 @@ def mevp_round_rdma(
 
         kconsts = {
             name: c_vmem[idx, hx : hx + nx, hy : hy + ny]
-            for idx, name in enumerate(_CONST_NAMES)
+            for idx, name in enumerate(const_names)
         }
         carry0 = tuple(s_vmem[k] for k in range(5))
 
@@ -238,7 +237,7 @@ def mevp_round_rdma(
 
         def run_band(carry, consts):
             bconsts = {
-                name: consts[idx] for idx, name in enumerate(_CONST_NAMES)
+                name: consts[idx] for idx, name in enumerate(const_names)
             }
             return jax.lax.fori_loop(
                 0, n_sub,

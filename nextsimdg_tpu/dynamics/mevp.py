@@ -59,6 +59,23 @@ class MEVPParams:
     f_coriolis: float = 1.46e-4  #: Coriolis parameter [s-1]
     use_coriolis: bool = True
     min_ice_mass: float = 1.0  #: [kg m-2] below which nodes are held at rest
+    #: Scale BOTH surface stresses by the ice concentration:
+    #: rho H dv/dt = div(sigma) + A tau_a + A tau_w (v_w - v) — the
+    #: canonical VP/mEVP momentum equation (Mehlmann & Richter box test;
+    #: the neXtSIM_DG formulation; Hibler 1979 eq. 1 scales per unit ice
+    #: area). Off by default for continuity with the unweighted benchmark
+    #: configs measured in rounds 1-3.
+    a_weighted_stress: bool = False
+    #: Nodal concentration below which dynamics nodes are held at rest
+    #: when ``a_weighted_stress`` is on (CICE's ``iceumask`` pattern):
+    #: at near-zero A the A-scaled ocean drag loses the stabilizing
+    #: semi-implicit term while the (unscaled) stress divergence of
+    #: adjacent pack can keep pushing — pinning sub-threshold nodes is
+    #: what makes the weighted form stable in the marginal ice zone.
+    #: 0.05 measured as the lowest decade keeping the wind-8 box's
+    #: 2000-step MIZ velocities in the unweighted run's noise band
+    #: (0.01 -> 1.2e3 m/s spikes, 0.05 -> 3.4, 0.15 -> 0.96).
+    a_dyn_min: float = 5e-2
 
 
 @_pytree
@@ -183,7 +200,7 @@ class MEVPSolver:
             return "xla"
         # Graded/spherical meshes ride the kernels as 5 extra metric
         # const planes (inv_dx/inv_dy/half_dx/half_dy/inv_w; step_consts).
-        n_consts = 7 if self.mesh.uniform else 12
+        n_consts = self._n_consts()
         if self.backend in ("pallas", "pallas-interpret"):
             return "single"
         if self.backend in ("pallas-tiled", "pallas-tiled-interpret"):
@@ -212,6 +229,14 @@ class MEVPSolver:
         ):
             return "tiled"
         return "xla"
+
+    def _n_consts(self) -> int:
+        """Per-step const-plane count for kernel VMEM budgeting: 7 uniform,
+        +5 metric planes graded/spherical, +1 a_node when A-weighted."""
+        n = 7 if self.mesh.uniform else 12
+        if self.params.a_weighted_stress:
+            n += 1
+        return n
 
     # -- per-element strain rates from CG1 velocity --------------------------
     def strain_rates(self, u, v, metric=None):
@@ -384,7 +409,7 @@ class MEVPSolver:
             else:
                 cfg = auto_config(
                     self.mesh.nx, self.mesh.ny,
-                    n_consts=7 if self.mesh.uniform else 12,
+                    n_consts=self._n_consts(),
                     periodic=(self.mesh.periodic_x, self.mesh.periodic_y),
                 )
                 if cfg is not None:
@@ -445,15 +470,32 @@ class MEVPSolver:
 
         active = mask * ice_node.astype(dtype)
         dt_m = dt / m_safe
+        wind_w = 1.0
+        if p.a_weighted_stress:
+            # Lumped nodal concentration (area-weighted over the adjacent
+            # elements, like m_node), clipped to [0, 1]. It scales the
+            # wind stress here (constant over the subcycles) and the
+            # ocean drag inside subcycle_body via the extra a_node const
+            # plane; nodes below a_dyn_min are pinned at rest through the
+            # existing active factor (see MEVPParams.a_dyn_min).
+            a_node = jnp.clip(
+                cell_to_node(a * cell_area, px, py, self.spmd) / node_area,
+                0.0,
+                1.0,
+            )
+            active = active * (a_node >= p.a_dyn_min).astype(dtype)
+            wind_w = a_node
         consts = dict(
             strength=strength,
             dt_m=dt_m,
             active=active,
-            b_u=state.u + dt_m * tau_au,
-            b_v=state.v + dt_m * tau_av,
+            b_u=state.u + dt_m * wind_w * tau_au,
+            b_v=state.v + dt_m * wind_w * tau_av,
             u_ocean=forcing.u_ocean,
             v_ocean=forcing.v_ocean,
         )
+        if p.a_weighted_stress:
+            consts["a_node"] = a_node
         if not self.mesh.uniform:
             # Per-node quarter-area weights for the force normalization,
             # plus the per-element metric planes (inv widths for the
@@ -489,11 +531,14 @@ class MEVPSolver:
             return "xla"
         from .kernels.mevp_pallas import pallas_supported
 
-        if pallas_supported(nxw, nyw):
+        if pallas_supported(nxw, nyw, n_consts=self._n_consts()):
             return "single"
         from .kernels.mevp_tiled import auto_config
 
-        if nxw * nyw >= 1_000_000 and auto_config(nxw, nyw) is not None:
+        if (
+            nxw * nyw >= 1_000_000
+            and auto_config(nxw, nyw, n_consts=self._n_consts()) is not None
+        ):
             return "tiled"
         return "xla"
 
@@ -549,7 +594,7 @@ class MEVPSolver:
             elif engine == "tiled":
                 from .kernels.mevp_tiled import auto_config, mevp_subcycles_tiled
 
-                cfg = auto_config(nx + 2 * h, ny + 2 * h)
+                cfg = auto_config(nx + 2 * h, ny + 2 * h, n_consts=self._n_consts())
                 padded = mevp_subcycles_tiled(
                     local, padded, consts_w, dt, n_sub,
                     tile_x=cfg[0], tile_y=cfg[1], halo_x=cfg[2], halo_y=cfg[3],
@@ -653,6 +698,11 @@ class MEVPSolver:
         rel_u = consts["u_ocean"] - u
         rel_v = consts["v_ocean"] - v
         c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(rel_u * rel_u + rel_v * rel_v)
+        if "a_node" in consts:
+            # A-weighted ocean stress: tau_w = A c_w (v_w - v). One extra
+            # multiply per subcycle; the plane rides every kernel like the
+            # metric planes do.
+            c_w = c_w * consts["a_node"]
         denom_rheo = delta + p.delta_min
         denom_drag = 1.0 + beta + dt_m * c_w
         inv_both = 1.0 / (denom_rheo * denom_drag)

@@ -361,8 +361,9 @@ class MEVPSolverHO:
             # Per-subcycle width-1 ppermute halos on the XLA path.
             return "xla"
         # Graded/spherical meshes ride the HO kernels as 4 extra metric
-        # const planes (dx/dy/inv_dx/inv_dy; step_consts).
-        n_consts = 29 if self.mesh.uniform else 33
+        # const planes (dx/dy/inv_dx/inv_dy; step_consts); A-weighted
+        # stresses add one a_{k} plane per CG2 plane family.
+        n_consts = self._n_consts()
         if self.backend in ("pallas", "pallas-interpret"):
             return (
                 "single-interpret"
@@ -395,6 +396,14 @@ class MEVPSolverHO:
             return "tiled"
         return "xla"
 
+    def _n_consts(self) -> int:
+        """Const-plane count for kernel VMEM budgeting: 29 uniform, +4
+        metric planes graded/spherical, +4 a_{k} planes when A-weighted."""
+        n = 29 if self.mesh.uniform else 33
+        if self.params.a_weighted_stress:
+            n += 4
+        return n
+
     def step_consts(self, state: HOVelocityState, h, a, forcing, mask, dt: float):
         """Per-step constant planes shared by the XLA and fused backends.
 
@@ -421,18 +430,28 @@ class MEVPSolverHO:
             consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
         h_node = self.node_thickness(h)
         weights = self.node_weights(dtype=dtype)
+        a_node = self.node_thickness(a) if p.a_weighted_stress else None
         for k in PLANES:
             m = p.rho_ice * getattr(h_node, k)
             dm = dt / jnp.maximum(m, p.min_ice_mass)
             ua = getattr(forcing.u_atm, k)
             va = getattr(forcing.v_atm, k)
             wind = p.rho_atm * p.cd_atm * jnp.sqrt(ua * ua + va * va)
+            active = getattr(mask, k) * (m > p.min_ice_mass).astype(dtype)
+            wind_w = 1.0
+            if a_node is not None:
+                # A-weighted surface stresses (see MEVPParams): the lumped
+                # nodal concentration scales the wind stress here and the
+                # ocean drag in subcycle_body via the a_{k} planes;
+                # sub-threshold nodes are pinned via the active factor.
+                ak = jnp.clip(getattr(a_node, k), 0.0, 1.0)
+                active = active * (ak >= p.a_dyn_min).astype(dtype)
+                wind_w = ak
+                consts[f"a_{k}"] = ak
             consts[f"dt_m_{k}"] = dm
-            consts[f"active_{k}"] = (
-                getattr(mask, k) * (m > p.min_ice_mass).astype(dtype)
-            )
-            consts[f"b_u_{k}"] = getattr(state.u, k) + dm * wind * ua
-            consts[f"b_v_{k}"] = getattr(state.v, k) + dm * wind * va
+            consts[f"active_{k}"] = active
+            consts[f"b_u_{k}"] = getattr(state.u, k) + dm * wind_w * wind * ua
+            consts[f"b_v_{k}"] = getattr(state.v, k) + dm * wind_w * wind * va
             consts[f"inv_w_{k}"] = 1.0 / getattr(weights, k)
             consts[f"u_ocean_{k}"] = getattr(forcing.u_ocean, k)
             consts[f"v_ocean_{k}"] = getattr(forcing.v_ocean, k)
@@ -509,6 +528,9 @@ class MEVPSolverHO:
             c_w = p.rho_ocean * p.cd_ocean * jnp.sqrt(
                 rel_u * rel_u + rel_v * rel_v
             )
+            if f"a_{k}" in consts:
+                # A-weighted ocean stress: tau_w = A c_w (v_w - v).
+                c_w = c_w * consts[f"a_{k}"]
             cor_u = p.f_coriolis * (vk - vo) if p.use_coriolis else 0.0
             cor_v = -p.f_coriolis * (uk - uo) if p.use_coriolis else 0.0
             dm = consts[f"dt_m_{k}"]
@@ -542,11 +564,14 @@ class MEVPSolverHO:
             return "xla"
         from .kernels.mevp_ho_pallas import ho_pallas_supported
 
-        if ho_pallas_supported(nxw, nyw):
+        if ho_pallas_supported(nxw, nyw, n_consts=self._n_consts()):
             return "single"
         from .kernels.mevp_ho_tiled import ho_tiled_config
 
-        if nxw * nyw >= 1_000_000 and ho_tiled_config(nxw, nyw) is not None:
+        if (
+            nxw * nyw >= 1_000_000
+            and ho_tiled_config(nxw, nyw, n_consts=self._n_consts()) is not None
+        ):
             return "tiled"
         return "xla"
 

@@ -147,8 +147,15 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             from ..dynamics.landmask import load_ocean_mask
 
             ocean_mask = load_ocean_mask(land_mask_spec, nx, ny)
+        # A-weighted surface stresses (the canonical VP momentum form;
+        # MEVPParams.a_weighted_stress) + its MIZ pinning threshold.
+        a_weighted = bool(get("dynamics.a_weighted_stress", False))
+        a_dyn_min = float(get("dynamics.a_dyn_min", 5e-2))
         model = CoupledModel(
-            mesh, degree=degree, mevp_params=MEVPParams(),
+            mesh, degree=degree,
+            mevp_params=MEVPParams(
+                a_weighted_stress=a_weighted, a_dyn_min=a_dyn_min
+            ),
             n_subcycles=subcycles, transport_substeps=transport_substeps,
             auto_substeps=auto_substeps, tvb_m=tvb_m,
             ocean_mask=ocean_mask,
