@@ -161,7 +161,8 @@ def _synthetic_coastline(n: int) -> np.ndarray:
 
 
 def bench_coupled_1m(
-    n=1024, land_mask=False, spherical=False, high_order=False, chunk=16
+    n=1024, land_mask=False, spherical=False, high_order=False, chunk=16,
+    a_weighted=False,
 ) -> dict:
     """BASELINE config 4: coupled thermo+dynamics, ~1M elements.
 
@@ -169,7 +170,9 @@ def bench_coupled_1m(
     realistic config: impermeable coastline faces, no-slip coastal nodes);
     ``spherical=True`` runs a lon-lat mesh (per-latitude metric planes
     riding the tiled Pallas kernels); ``high_order=True`` selects the
-    CG2/dG1 neXtSIM_DG discretization.
+    CG2/dG1 neXtSIM_DG discretization; ``a_weighted=True`` runs the
+    canonical A-weighted momentum form (one extra a_node const plane in
+    the tiled mEVP kernel; MEVPParams.a_weighted_stress).
     """
     import jax
     import jax.numpy as jnp
@@ -191,8 +194,13 @@ def bench_coupled_1m(
     loader = ModuleRegistry.get_loader()
     if high_order:
         loader.set_implementation("Nextsim::IDynamics", "Nextsim::MEVPHighOrder")
+    from nextsimdg_tpu.dynamics import MEVPParams
+
     try:
-        model = CoupledModel(mesh, degree=1, n_subcycles=100, ocean_mask=ocean)
+        model = CoupledModel(
+            mesh, degree=1, n_subcycles=100, ocean_mask=ocean,
+            mevp_params=MEVPParams(a_weighted_stress=a_weighted),
+        )
     finally:
         if high_order:
             loader.reset()
@@ -208,6 +216,7 @@ def bench_coupled_1m(
         ", synthetic coastline" if land_mask else "",
         ", spherical lon-lat" if spherical else "",
         ", CG2/dG1" if high_order else "",
+        ", A-weighted" if a_weighted else "",
     ])
     return {
         "metric": (
@@ -275,6 +284,7 @@ CONFIGS = {
     "coupled_1m_spherical": lambda: bench_coupled_1m(
         land_mask=True, spherical=True
     ),
+    "coupled_1m_aweighted": lambda: bench_coupled_1m(a_weighted=True),
     "ho_coupled_256": lambda: bench_coupled_1m(n=256, high_order=True, chunk=64),
     "ho_coupled_1m": lambda: bench_coupled_1m(high_order=True, chunk=8),
     "multihost_16m": bench_multihost_16m,
