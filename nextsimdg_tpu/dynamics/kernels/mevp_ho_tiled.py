@@ -11,6 +11,19 @@ invalidates one ring, so the interior stays exact), and DMA back only the
 interiors. Zero ghost strips ARE the closed boundary (zero ``active``
 pins ghost nodes at rest; zero strains/stresses contribute nothing).
 
+ALL ceil(n_subcycles / halo_x) rounds run inside ONE pallas_call over a
+(rounds, ti) grid (the CG1 ``mevp_tiled`` structure): the padded state
+ping-pongs between two HBM slots (round r reads slot r%2, writes slot
+1-r%2), both slots' halo rings are zeroed once on entry and only
+interiors are ever written, so the closed-boundary zeros persist for
+every round with no host round-trip, re-pad, or XLA copy between rounds.
+When the tile count statically clears the stencil-reach hazard (n_ti >=
+4), input blocks of tile g+2 are prefetched across round boundaries and
+the interior write-back of tile g is retired one tile late (from a
+staging buffer), keeping every DMA — including the round-leading first
+load and the write-backs that the chained per-round form exposed —
+behind another tile's subcycle compute.
+
 The single-block fused HO kernel (``mevp_ho_pallas``) covers ~371^2; this
 kernel extends the VMEM-resident subcycle loop to >=1M-element HO grids,
 where the XLA path re-streams all 46 planes per subcycle.
@@ -25,12 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..cg2basis import PLANES
 
-_VMEM_LIMIT = 110 * 1024 * 1024
-_TILED_VMEM_BUDGET = 96 * 1024 * 1024
+#: This kernel needs every byte of the 128 MB core: at the production
+#: 1024^2 config (block 144, 29 consts) the double-buffered input blocks
+#: + interior staging + the HO body's Mosaic stack measure 111.3 MB
+#: (the 110 MB cap used elsewhere OOMs by 2.4 MB with block-wide
+#: staging). 120 MB leaves ~9 MB for Mosaic's own overheads.
+_VMEM_LIMIT = 120 * 1024 * 1024
+#: The fused ping-pong form budgets 2x(n_consts + 17) double-buffered
+#: input blocks + 17 interior-rows staging blocks (deferred write-backs)
+#: + the Mosaic stack census below against the raised cap.
+_TILED_VMEM_BUDGET = 104 * 1024 * 1024
 #: Mosaic stack temporaries of the HO body (the Gauss-point stacks
 #: halved with the 2x2 constitutive rule; same census as mevp_ho_pallas).
-#: The input blocks (n_consts + 17 state planes) are DOUBLE-buffered so
-#: the next tile's loads fly behind this tile's compute.
 _STACK_EQUIVALENTS = 65
 
 
@@ -39,7 +58,7 @@ def ho_tiled_config(nx: int, ny: int, n_consts: int = 29):
     if ny % 128:
         return None
     budget = _TILED_VMEM_BUDGET // (
-        (2 * (n_consts + 17) + _STACK_EQUIVALENTS) * 4
+        (2 * (n_consts + 17) + 17 + _STACK_EQUIVALENTS) * 4
     )
     best = None
     best_cost = None
@@ -113,105 +132,165 @@ def ho_subcycles_tiled(
 
     pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
     consts_stack = jnp.stack([pad2(consts[name]) for name in const_names])
-    states = jnp.stack([pad2(p) for p in state_planes])
 
-    def round_kernel(n_sub):
-        def kernel(consts_ref, states_ref, out_ref, *rest):
-            # Double-buffered input blocks: tile ti+1's 46-plane load
-            # (the bulk of the round's HBM traffic, ~30 MB/tile at 1024^2)
-            # flies behind tile ti's subcycle compute; only the round's
-            # first load is exposed. Tiles read the PRE-round state
-            # (states_ref) and write a separate out_ref, so the prefetch
-            # never races the interior write-backs.
-            c_scr, s_scr, sems = rest
-            ti = pl.program_id(0)
-            slot = jax.lax.rem(ti, jnp.int32(2))
+    n_rounds = -(-n_subcycles // halo_x)
+    total = n_rounds * n_ti
+    # Cross-round prefetch + one-tile-deferred write-back feasibility
+    # (static). A round-(r+1) tile t's block reads interiors written by
+    # round-r tiles t-1..t+1 (full-row stencil reach 1); the prefetch for
+    # tile g+2 is issued at tile g AFTER retiring the write of tile g-1,
+    # so every round-r write it depends on is known complete iff
+    # (n_ti - 2) >= 1 + 1  <=>  n_ti >= 4. Below that, prefetch stays
+    # round-local, round-leading tiles self-start their loads, and
+    # write-backs are waited inline (the CG1 fallback discipline).
+    cross_prefetch = n_ti >= 4
+    defer_out = cross_prefetch
 
-            def load_dmas(t, s):
-                window = (slice(None), pl.ds(t * tile_x, block_x), slice(None))
-                return (
-                    pltpu.make_async_copy(
-                        consts_ref.at[window], c_scr.at[s], sems.at[s, 0]
-                    ),
-                    pltpu.make_async_copy(
-                        states_ref.at[window], s_scr.at[s], sems.at[s, 1]
-                    ),
-                )
+    def kernel(consts_ref, states_in, states_io, c_scr, s_scr, staging,
+               in_sems, out_sem):
+        # ``c_scr``/``s_scr``: (2, n, block_x, ny) double-buffered input
+        # blocks — tile g computes out of slot g%2 while the two
+        # whole-window DMAs for tile g+1 (issued one tile earlier) land
+        # in the other slot. ``staging``: one block holding tile g's
+        # final state so its interior write-back DMA can drain behind
+        # tile g+1's compute (retired just before tile g+1 re-stages).
+        r = pl.program_id(0)
+        ti = pl.program_id(1)
+        g = r * n_ti + ti
+        slot = jax.lax.rem(g, jnp.int32(2))
 
-            @pl.when(ti == 0)
-            def _first():
-                for dma in load_dmas(jnp.int32(0), jnp.int32(0)):
+        def src_slot_of(gg):
+            return jax.lax.rem(gg // jnp.int32(n_ti), jnp.int32(2))
+
+        def load_dmas(gg, s):
+            t = jax.lax.rem(gg, jnp.int32(n_ti))
+            window = pl.ds(t * tile_x, block_x)
+            return (
+                pltpu.make_async_copy(
+                    consts_ref.at[:, window, :], c_scr.at[s], in_sems.at[s, 0]
+                ),
+                pltpu.make_async_copy(
+                    states_io.at[src_slot_of(gg), :, window, :],
+                    s_scr.at[s],
+                    in_sems.at[s, 1],
+                ),
+            )
+
+        def out_dma(gg):
+            t = jax.lax.rem(gg, jnp.int32(n_ti))
+            ds = 1 - src_slot_of(gg)  # write the OTHER state slot
+            return pltpu.make_async_copy(
+                staging.at[:, pl.ds(0, tile_x), :],
+                states_io.at[
+                    ds, :, pl.ds(halo_x + t * tile_x, tile_x), :
+                ],
+                out_sem.at[0],
+            )
+
+        @pl.when(g == 0)
+        def _first():
+            for dma in load_dmas(jnp.int32(0), jnp.int32(0)):
+                dma.start()
+            # n_ti == 1: tile g=1 is round 1 and must read round 0's
+            # write-back — its load is self-started below instead.
+            if n_ti > 1:
+                for dma in load_dmas(jnp.int32(1), jnp.int32(1)):
                     dma.start()
 
-            for dma in load_dmas(ti, slot):
-                dma.wait()
-            if n_ti > 1:
-                @pl.when(ti + 1 < n_ti)
+        if not cross_prefetch and n_rounds > 1:
+            # Round-leading tiles get no cross-round prefetch: each of
+            # the first two tiles of a later round starts its OWN loads
+            # (exposed) right before waiting. Safe because without
+            # cross_prefetch write-backs are waited inline, so all of
+            # the previous round's interiors are already in HBM.
+            @pl.when((r > 0) & (ti < min(2, n_ti)))
+            def _self_start():
+                for dma in load_dmas(g, slot):
+                    dma.start()
+
+        for dma in load_dmas(g, slot):
+            dma.wait()
+
+        kconsts = {
+            name: c_scr[slot, idx] for idx, name in enumerate(const_names)
+        }
+        carry = _unflatten_state([s_scr[slot, k] for k in range(n_s)])
+
+        # Last round may run fewer subcycles (the remainder).
+        n_sub = jnp.minimum(
+            jnp.int32(halo_x),
+            jnp.int32(n_subcycles) - r * jnp.int32(halo_x),
+        )
+
+        def body(_, c):
+            return solver.subcycle_body(c, kconsts, dt)
+
+        final = jax.lax.fori_loop(0, n_sub, body, carry)
+
+        # Retire the deferred write whose staging block this tile reuses.
+        if defer_out and total > 1:
+            @pl.when(g >= 1)
+            def _retire():
+                out_dma(g - 1).wait()
+
+        for k, plane in enumerate(_flatten_state(final)):
+            staging[k] = plane[halo_x : halo_x + tile_x, :]
+        started = out_dma(g)
+        started.start()
+        if not defer_out:
+            started.wait()
+
+        # Prefetch the loads of tile g+2 into the input slot this tile
+        # just vacated; they fly behind tile g+1's subcycle compute.
+        if cross_prefetch:
+            if total > 2:
+                @pl.when(g + 2 < total)
                 def _prefetch():
-                    for dma in load_dmas(ti + 1, 1 - slot):
+                    for dma in load_dmas(g + 2, slot):
                         dma.start()
+        elif n_ti > 2:
+            @pl.when(ti + 2 < n_ti)
+            def _prefetch_round():
+                for dma in load_dmas(g + 2, slot):
+                    dma.start()
 
-            # Global-edge tiles: zero the out-of-domain state strips (the
-            # padded rings of a fresh output buffer are uninitialized;
-            # zeros ARE the closed boundary). Consts keep jnp.pad zeros.
-            @pl.when(ti == 0)
-            def _zero_lo():
-                s_scr[0, :, :halo_x, :] = jnp.zeros_like(
-                    s_scr[0, :, :halo_x, :]
-                )
-
-            @pl.when(ti == n_ti - 1)
-            def _zero_hi():
-                s_scr[slot, :, halo_x + tile_x :, :] = jnp.zeros_like(
-                    s_scr[slot, :, halo_x + tile_x :, :]
-                )
-
-            kconsts = {
-                name: c_scr[slot, idx] for idx, name in enumerate(const_names)
-            }
-            carry = _unflatten_state([s_scr[slot, k] for k in range(n_s)])
-
-            def body(_, c):
-                return solver.subcycle_body(c, kconsts, dt)
-
-            final = jax.lax.fori_loop(0, n_sub, body, carry)
-            row0 = ti * tile_x
-            for k, plane in enumerate(_flatten_state(final)):
-                s_scr[slot, k] = plane
-
-            out = pltpu.make_async_copy(
-                s_scr.at[slot, :, pl.ds(halo_x, tile_x), :],
-                out_ref.at[:, pl.ds(halo_x + row0, tile_x), :],
-                sems.at[slot, 2],
-            )
-            out.start()
-            out.wait()
-
-        return kernel
+        if defer_out:
+            @pl.when(g == total - 1)
+            def _drain():
+                out_dma(g).wait()
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch_shapes = [
         pltpu.VMEM((2, n_c, block_x, ny), dtype),
         pltpu.VMEM((2, n_s, block_x, ny), dtype),
-        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.VMEM((n_s, tile_x, ny), dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((1,)),
     ]
-    out_shape = jax.ShapeDtypeStruct((n_s, pad_x, ny), dtype)
+    out_shape = jax.ShapeDtypeStruct((2, n_s, pad_x, ny), dtype)
 
-    remaining = n_subcycles
-    while remaining > 0:
-        n_sub = min(halo_x, remaining)
-        remaining -= n_sub
-        states = pl.pallas_call(
-            round_kernel(n_sub),
-            grid=(n_ti,),
-            out_shape=out_shape,
-            in_specs=[any_spec, any_spec],
-            out_specs=any_spec,
-            scratch_shapes=scratch_shapes,
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-            # NO aliasing: later tiles read neighbors' PRE-round strips.
-            interpret=interpret,
-        )(consts_stack, states)
+    # Ping-pong state buffer: slot 0 holds the padded initial state; round
+    # r reads slot r%2 and writes slot 1-r%2. Both slots' halo rings are
+    # zero (the closed walls) and stay zero: the kernel writes interiors
+    # only, and the buffer is ALIASED in/out so rounds run in place.
+    states = jnp.zeros((2, n_s, pad_x, ny), dtype)
+    states = states.at[0, :, halo_x : halo_x + nx, :].set(
+        jnp.stack(state_planes)
+    )
+    states = pl.pallas_call(
+        kernel,
+        grid=(n_rounds, n_ti),
+        out_shape=out_shape,
+        in_specs=[any_spec, any_spec],
+        out_specs=any_spec,
+        input_output_aliases={1: 0},
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(consts_stack, states)
 
-    interior = [states[k, halo_x : halo_x + nx, :] for k in range(n_s)]
+    final_slot = n_rounds % 2
+    interior = [
+        states[final_slot, k, halo_x : halo_x + nx, :] for k in range(n_s)
+    ]
     return _unflatten_state(interior)

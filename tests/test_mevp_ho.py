@@ -240,3 +240,34 @@ def test_ho_tiled_interpret_matches_xla_path():
         np.testing.assert_allclose(
             np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
         )
+
+
+def test_ho_tiled_cross_prefetch_matches_xla_path():
+    """Fused ping-pong HO tiled kernel on enough tiles (n=32, tile_x=8:
+    n_ti=4) to statically enable BOTH cross-round input prefetch and the
+    one-tile-deferred interior write-back, plus a remainder round
+    (10 subcycles = rounds of 4+4+2 at halo_x=4) — validates the
+    slot/retire/drain index arithmetic of the overlapped fast path."""
+    mesh, h, a, forcing = _box(n=32)
+    xla = MEVPSolverHO(mesh, MEVPParams(use_coriolis=False), backend="xla")
+    tiled = MEVPSolverHO(
+        mesh, MEVPParams(use_coriolis=False), backend="pallas-tiled-interpret"
+    )
+    assert mesh.nx // 8 >= 4  # the cross_prefetch/defer_out threshold
+    mask = xla.boundary_mask(dtype=jnp.float64)
+    state = HOVelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+    out_xla = xla.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=10)
+    out_tiled = tiled.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=10)
+
+    import jax
+    for ax, bx in zip(
+        jax.tree.leaves(
+            (out_xla.u, out_xla.v, out_xla.s11, out_xla.s22, out_xla.s12)
+        ),
+        jax.tree.leaves(
+            (out_tiled.u, out_tiled.v, out_tiled.s11, out_tiled.s22, out_tiled.s12)
+        ),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
+        )
