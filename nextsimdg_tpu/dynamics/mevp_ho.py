@@ -386,9 +386,12 @@ class MEVPSolverHO:
             return "single"
         from .kernels.mevp_ho_tiled import ho_tiled_config
 
+        # Everywhere above the single-block VMEM limit the tiled kernel
+        # beats XLA's 46-plane-per-subcycle re-streaming (measured v5e:
+        # 1.06x at 384^2, 1.44x at 512^2, 3.0x at 768^2, 3.2x at 1024^2 —
+        # XLA's effective bandwidth degrades with working-set size).
         if (
-            self.mesh.n_elements >= 1_000_000
-            and not self.mesh.periodic_x
+            not self.mesh.periodic_x
             and not self.mesh.periodic_y
             and ho_tiled_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
             is not None
@@ -568,10 +571,9 @@ class MEVPSolverHO:
             return "single"
         from .kernels.mevp_ho_tiled import ho_tiled_config
 
-        if (
-            nxw * nyw >= 1_000_000
-            and ho_tiled_config(nxw, nyw, n_consts=self._n_consts()) is not None
-        ):
+        # Same threshold as _kernel_choice: tiled beats XLA at every size
+        # above the single-block limit (measured 384^2..1024^2 sweep).
+        if ho_tiled_config(nxw, nyw, n_consts=self._n_consts()) is not None:
             return "tiled"
         return "xla"
 
