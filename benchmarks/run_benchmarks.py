@@ -286,6 +286,9 @@ CONFIGS = {
     ),
     "coupled_1m_aweighted": lambda: bench_coupled_1m(a_weighted=True),
     "ho_coupled_256": lambda: bench_coupled_1m(n=256, high_order=True, chunk=64),
+    # 512^2 sits in the regime the HO tiled kernel newly covers (round 3:
+    # the single-block kernel tops out ~371^2 and the 1M auto gate fell).
+    "ho_coupled_512": lambda: bench_coupled_1m(n=512, high_order=True, chunk=32),
     "ho_coupled_1m": lambda: bench_coupled_1m(high_order=True, chunk=8),
     "multihost_16m": bench_multihost_16m,
 }

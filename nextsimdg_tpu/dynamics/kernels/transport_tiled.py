@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 110 * 1024 * 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 _HALO_X = 8
+#: Size floor for the auto gate. Measured (v5e, CG1 coupled 512^2, 16-step
+#: scan): staged XLA 2.91 ms/step vs tiled 3.29 — below ~1M elements the
+#: per-tile velocity re-sampling + halo redundancy outweigh the streaming
+#: the kernel saves, and the fused coupled kernel covers small grids.
+_MIN_ELEMENTS = 1_000_000
 
 
 def _rings_per_substep(transport) -> int:
@@ -73,7 +78,7 @@ def transport_tiled_config(model, n_tracers: int = 3):
         return None
     if any(axis is not None for axis in model.spmd):
         return None
-    if mesh.n_elements < 1_000_000 or mesh.ny % 128:
+    if mesh.n_elements < _MIN_ELEMENTS or mesh.ny % 128:
         return None
     n_dofs = model.transport.basis.n_dofs
     rings = _rings_per_substep(model.transport)
