@@ -271,3 +271,23 @@ def test_ho_tiled_cross_prefetch_matches_xla_path():
         np.testing.assert_allclose(
             np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
         )
+
+
+def test_ho_tiled_config_covers_midsize_and_pins_production():
+    """ho_tiled_config: available at every closed size above the
+    single-block kernel's ~371^2 limit (the 1M auto gate is gone), and
+    the production 1024^2 config stays (128, 8) — that exact tile/halo
+    pair is what the 120 MB scoped-VMEM budget of the fused ping-pong
+    kernel was validated against on hardware (docs/performance.md)."""
+    from nextsimdg_tpu.dynamics.kernels.mevp_ho_tiled import ho_tiled_config
+
+    for n in (384, 512, 768, 1024, 2048):
+        for n_consts in (29, 33):  # uniform / +metric planes
+            cfg = ho_tiled_config(n, n, n_consts=n_consts)
+            assert cfg is not None, (n, n_consts)
+            tile_x, halo_x = cfg
+            assert n % tile_x == 0
+            assert halo_x % 8 == 0 and (tile_x + 2 * halo_x) % 8 == 0
+    assert ho_tiled_config(1024, 1024) == (128, 8)
+    # Non-128-multiple lane extent: unsupported (full-row tiles only).
+    assert ho_tiled_config(400, 400) is None
