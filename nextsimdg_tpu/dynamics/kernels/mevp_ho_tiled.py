@@ -54,9 +54,19 @@ _STACK_EQUIVALENTS = 65
 
 
 def ho_tiled_config(nx: int, ny: int, n_consts: int = 29):
-    """(tile_x, halo_x) full-row tile config, or None if unsupported."""
-    if ny % 128:
-        return None
+    """(tile_x, halo_x) full-row tile config, or None if unsupported.
+
+    Dims are budgeted at the next (64, 128)-multiple: non-aligned extents
+    ride the kernel via inert zero padding (zero ``active``/strength/dt_m
+    pin pad nodes at rest and contribute zero stress — the closed-wall
+    zeros, sideways/downward). This is what lets the blocked exchange's
+    widened local blocks (local extent + 2H, never tile-aligned) use
+    this kernel at all, and x-padding to 64 keeps proper tile widths
+    (528 raw admits only tile_x = 16 — 2x halo redundancy — where 576
+    padded admits 64).
+    """
+    nx = -(-nx // 64) * 64
+    ny = -(-ny // 128) * 128
     budget = _TILED_VMEM_BUDGET // (
         (2 * (n_consts + 17) + 17 + _STACK_EQUIVALENTS) * 4
     )
@@ -117,8 +127,25 @@ def ho_subcycles_tiled(
 ):
     """Run n_subcycles via full-row ghost-zone tiles; returns the carry."""
     state_planes = _flatten_state(carry0)
-    nx, ny = state_planes[0].shape
+    nx_out, ny_out = state_planes[0].shape
     dtype = state_planes[0].dtype
+    # Round extents up to (64 sublanes, 128 lanes); the pad strips are
+    # inert (zero active/strength/dt_m pin pad nodes at rest and
+    # contribute zero stress — the closed-wall zeros, sideways). Interop
+    # note: the node line at the real|pad interface was previously the
+    # IMPLICIT wall of the owned-node layout; stored and zero-pinned it
+    # feeds the real interior the exact same zeros.
+    nx = -(-nx_out // 64) * 64
+    ny = -(-ny_out // 128) * 128
+    row_pad, lane_pad = nx - nx_out, ny - ny_out
+    if row_pad or lane_pad:
+        state_planes = [
+            jnp.pad(p, ((0, row_pad), (0, lane_pad))) for p in state_planes
+        ]
+        consts = {
+            name: jnp.pad(value, ((0, row_pad), (0, lane_pad)))
+            for name, value in consts.items()
+        }
     if tile_x is None:
         tile_x, halo_x = ho_tiled_config(nx, ny)
     if nx % tile_x:
@@ -291,6 +318,7 @@ def ho_subcycles_tiled(
 
     final_slot = n_rounds % 2
     interior = [
-        states[final_slot, k, halo_x : halo_x + nx, :] for k in range(n_s)
+        states[final_slot, k, halo_x : halo_x + nx_out, :ny_out]
+        for k in range(n_s)
     ]
     return _unflatten_state(interior)

@@ -673,12 +673,9 @@ class MEVPSolverHO:
 
             kwargs = {}
             if choice == "tiled-interpret":
-                # Tiny tiles so small test grids exercise multiple tiles.
-                nx = self.mesh.nx
-                kwargs = dict(
-                    tile_x=(8 if nx % 8 == 0 else nx), halo_x=4,
-                    interpret=True,
-                )
+                # Tiny tiles so small test grids exercise multiple tiles
+                # (the kernel pads nx to a 64-multiple, so 8 divides).
+                kwargs = dict(tile_x=8, halo_x=4, interpret=True)
             carry = ho_subcycles_tiled(
                 self, carry0, consts, dt, n_subcycles, **kwargs
             )

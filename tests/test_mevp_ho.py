@@ -289,5 +289,39 @@ def test_ho_tiled_config_covers_midsize_and_pins_production():
             assert n % tile_x == 0
             assert halo_x % 8 == 0 and (tile_x + 2 * halo_x) % 8 == 0
     assert ho_tiled_config(1024, 1024) == (128, 8)
-    # Non-128-multiple lane extent: unsupported (full-row tiles only).
-    assert ho_tiled_config(400, 400) is None
+    # Non-aligned extents ride inert zero padding (400 -> 448 x 512) and
+    # must yield a proper tile width, not the degenerate tile_x = 8 that
+    # raw 400 rows would force.
+    tile_x, halo_x = ho_tiled_config(400, 400)
+    assert 448 % tile_x == 0 and tile_x >= 64
+    # A blocked-exchange widened local block (never tile-aligned).
+    assert ho_tiled_config(528, 1040) is not None
+
+
+def test_ho_tiled_padded_extents_match_xla_path():
+    """Non-tile-aligned grid (20x20 -> padded 64x128 inside the kernel):
+    the inert zero-pad strips must reproduce the implicit-wall closed
+    boundary exactly — pins the padding argument the blocked exchange's
+    widened local blocks rely on."""
+    mesh, h, a, forcing = _box(n=20)
+    xla = MEVPSolverHO(mesh, MEVPParams(use_coriolis=False), backend="xla")
+    tiled = MEVPSolverHO(
+        mesh, MEVPParams(use_coriolis=False), backend="pallas-tiled-interpret"
+    )
+    mask = xla.boundary_mask(dtype=jnp.float64)
+    state = HOVelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+    out_xla = xla.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=6)
+    out_tiled = tiled.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=6)
+
+    import jax
+    for ax, bx in zip(
+        jax.tree.leaves(
+            (out_xla.u, out_xla.v, out_xla.s11, out_xla.s22, out_xla.s12)
+        ),
+        jax.tree.leaves(
+            (out_tiled.u, out_tiled.v, out_tiled.s11, out_tiled.s22, out_tiled.s12)
+        ),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(bx), np.asarray(ax), rtol=1e-12, atol=1e-13
+        )
