@@ -44,6 +44,11 @@ class RectMesh:
     no-slip) boundaries.
     """
 
+    #: True on :class:`LocalMeshView` — the per-device block of a
+    #: non-uniform global mesh under shard_map, whose metric is traced
+    #: (sliced by device coordinates) rather than static.
+    is_local_view = False
+
     def __init__(
         self, nx: int, ny: int, dx: Spacing, dy: Spacing,
         x0: float = 0.0, y0: float = 0.0,
@@ -112,6 +117,26 @@ class RectMesh:
     def face_len_y(self):
         """Length of the bottom face of element (i, j); broadcastable."""
         return float(self._dx[0]) if self.uniform else self._dx[:, None]
+
+    # -- separable metric factors ---------------------------------------------
+    # Every metric plane of the tensor-product geometries (graded rectangles
+    # AND lon-lat spheres) factors as col(x)[:, None] * row(y)[None, :].
+    # This is the slicing primitive that lets shard_map devices fetch THEIR
+    # block of the global metric from two tiny 1-D arrays (LocalMeshView)
+    # instead of replicating (nx, ny) planes.
+    def metric_factors(self):
+        """(col (nx,), row (ny,)) f64 factor pairs per metric plane:
+        ``dx``/``dy`` (element widths), ``area`` (element areas),
+        ``face_x``/``face_y`` (owned-face lengths)."""
+        ones_x = np.ones(self.nx)
+        ones_y = np.ones(self.ny)
+        return {
+            "dx": (self._dx, ones_y),
+            "dy": (ones_x, self._dy),
+            "area": (self._dx, self._dy),
+            "face_x": (ones_x, self._dy),
+            "face_y": (self._dx, ones_y),
+        }
 
     @property
     def n_elements(self) -> int:
@@ -248,6 +273,21 @@ class SphericalMesh(RectMesh):
         """Zonal (bottom) face of row j: R cos(phi_j) dlambda, (1, ny)."""
         return (self.radius * self.dlam) * self._cos_node[None, :-1]
 
+    def metric_factors(self):
+        """Spherical metric as separable (col, row) factors — the x factor
+        is trivial (the metric depends on latitude only); rows carry the
+        SAME f64 expressions as the plane properties, so sliced local
+        blocks are bit-identical to the static planes."""
+        ones_x = np.ones(self.nx)
+        ones_y = np.ones(self.ny)
+        return {
+            "dx": (ones_x, (self.radius * self.dlam) * self._cos_center),
+            "dy": (ones_x, (self.radius * self.dphi) * ones_y),
+            "area": (ones_x, self._zone_area),
+            "face_x": (ones_x, (self.radius * self.dphi) * ones_y),
+            "face_y": (ones_x, (self.radius * self.dlam) * self._cos_node[:-1]),
+        }
+
     def lonlat_centers(self):
         """(lat, lon) element-center arrays in degrees, each (nx, ny)."""
         lons = np.degrees(self.lam0 + (np.arange(self.nx) + 0.5) * self.dlam)
@@ -255,3 +295,122 @@ class SphericalMesh(RectMesh):
         lat2d = np.broadcast_to(lats[None, :], (self.nx, self.ny))
         lon2d = np.broadcast_to(lons[:, None], (self.nx, self.ny))
         return lat2d, lon2d
+
+
+class LocalMeshView(RectMesh):
+    """The per-device (nx//px, ny//py) block of a NON-UNIFORM global mesh
+    under ``shard_map``.
+
+    shard_map traces ONE program for every device, so a static per-device
+    metric is impossible — each device must fetch ITS slice of the global
+    spacing at trace time. This view holds the GLOBAL mesh (static data)
+    and exposes :meth:`local_metric`, which dynamic-slices the separable
+    1-D metric factors (:meth:`RectMesh.metric_factors`) by the device's
+    mesh coordinates (``lax.axis_index`` — the ``_local_ocean_mask``
+    pattern) and outer-products them into this block's (nx, ny) planes.
+
+    The static metric accessors (``dx``/``cell_area``/...) RAISE: any code
+    reading them under shard_map would silently replicate one block's
+    metric onto every device. Shape/topology accessors (nx, ny,
+    periodic_*) describe the local block and work as usual.
+    """
+
+    is_local_view = True
+
+    def __init__(self, global_mesh: RectMesh, px: int, py: int) -> None:
+        if global_mesh.uniform:
+            raise ValueError(
+                "uniform global meshes shard as plain RectMesh local blocks"
+            )
+        if global_mesh.nx % px or global_mesh.ny % py:
+            raise ValueError(
+                f"grid {global_mesh.nx}x{global_mesh.ny} not divisible by "
+                f"device mesh {px}x{py}"
+            )
+        super().__init__(
+            nx=global_mesh.nx // px,
+            ny=global_mesh.ny // py,
+            # Placeholder spacing (never read: metric accessors raise).
+            dx=float(np.mean(global_mesh.dx_array)),
+            dy=float(np.mean(global_mesh.dy_array)),
+            periodic_x=global_mesh.periodic_x,
+            periodic_y=global_mesh.periodic_y,
+        )
+        self.uniform = False
+        self.global_mesh = global_mesh
+        self.px = int(px)
+        self.py = int(py)
+
+    def __hash__(self) -> int:
+        return hash(("local_view", hash(self.global_mesh), self.px, self.py))
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, LocalMeshView) and hash(self) == hash(other)
+
+    def _no_static_metric(self, name: str):
+        raise TypeError(
+            f"LocalMeshView.{name} is per-device and traced; use "
+            "local_metric(spmd, dtype) (or the global_mesh) instead"
+        )
+
+    @property
+    def dx(self):
+        self._no_static_metric("dx")
+
+    @property
+    def dy(self):
+        self._no_static_metric("dy")
+
+    @property
+    def cell_area(self):
+        self._no_static_metric("cell_area")
+
+    @property
+    def face_len_x(self):
+        self._no_static_metric("face_len_x")
+
+    @property
+    def face_len_y(self):
+        self._no_static_metric("face_len_y")
+
+    def element_centers(self):
+        self._no_static_metric("element_centers")
+
+    def node_coords(self):
+        self._no_static_metric("node_coords")
+
+    def edge_x_coords(self, s_edge):
+        self._no_static_metric("edge_x_coords")
+
+    def edge_y_coords(self, s_edge):
+        self._no_static_metric("edge_y_coords")
+
+    def volume_quad_coords(self, xq_vol, yq_vol):
+        self._no_static_metric("volume_quad_coords")
+
+    def local_metric(self, spmd, dtype):
+        """This device's metric planes, each (nx, ny) traced arrays.
+
+        ``spmd``: the ('X', 'Y')-style axis-name pair the caller runs
+        under (None entries mean the axis is unsharded -> block 0).
+        Returns dict(dx, dy, area, face_x, face_y). The factors are cast
+        to ``dtype`` BEFORE the outer product, matching the static
+        ``jnp.asarray(np.broadcast_to(...), dtype)`` planes bit-for-bit
+        at f64.
+        """
+        import jax.numpy as jnp
+        from jax import lax
+
+        ax_x, ax_y = spmd
+        ix = lax.axis_index(ax_x) * self.nx if ax_x is not None else 0
+        iy = lax.axis_index(ax_y) * self.ny if ax_y is not None else 0
+        out = {}
+        for name, (col, row) in self.global_mesh.metric_factors().items():
+            c = lax.dynamic_slice(
+                jnp.asarray(col, dtype), (jnp.asarray(ix),), (self.nx,)
+            )
+            r = lax.dynamic_slice(
+                jnp.asarray(row, dtype), (jnp.asarray(iy),), (self.ny,)
+            )
+            out[name] = c[:, None] * r[None, :]
+        return out

@@ -170,21 +170,28 @@ class MEVPSolver:
     def _kernel_choice(self) -> str:
         """'single' (fused), 'tiled', 'blocked' (shard_map ghost zones) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
+            # Non-uniform geometry under shard_map must arrive as a
+            # LocalMeshView (per-device traced metric planes riding the
+            # consts); a plain non-uniform RectMesh would replicate ONE
+            # block's static metric onto every device.
+            metric_ok = self.mesh.uniform or self.mesh.is_local_view
             if self.backend in ("rdma", "rdma-interpret"):
-                if not self.mesh.uniform:
+                if not metric_ok:
                     raise NotImplementedError(
-                        "rdma halo exchange requires a uniform local mesh"
+                        "rdma under shard_map needs a uniform local mesh or "
+                        "a LocalMeshView of the non-uniform global mesh"
                     )
                 return "rdma"
             if self.backend in ("blocked", "blocked-interpret"):
-                if not self.mesh.uniform:
+                if not metric_ok:
                     raise NotImplementedError(
-                        "blocked halo exchange requires a uniform local mesh"
+                        "blocked exchange under shard_map needs a uniform "
+                        "local mesh or a LocalMeshView of the global mesh"
                     )
                 return "blocked"
             if (
                 self.backend == "auto"
-                and self.mesh.uniform
+                and metric_ok
                 and jax.default_backend() == "tpu"
                 and min(self.mesh.nx, self.mesh.ny) >= self.block_halo
             ):
@@ -237,6 +244,43 @@ class MEVPSolver:
         if self.params.a_weighted_stress:
             n += 1
         return n
+
+    def _metric_planes(self, dtype):
+        """None when uniform; dict(area, inv_dx, inv_dy, half_dx, half_dy)
+        of full (nx, ny) planes otherwise. LocalMeshView meshes (shard_map
+        over a non-uniform global mesh) dynamic-slice this device's block
+        of the global metric; plain non-uniform meshes broadcast their
+        static arrays (f64 math, then cast — the hardware-validated
+        single-chip path)."""
+        mesh = self.mesh
+        if mesh.uniform:
+            return None
+        if mesh.is_local_view:
+            m = mesh.local_metric(self.spmd, dtype)
+            return {
+                "area": m["area"],
+                "inv_dx": 1.0 / m["dx"],
+                "inv_dy": 1.0 / m["dy"],
+                "half_dx": 0.5 * m["dx"],
+                "half_dy": 0.5 * m["dy"],
+            }
+        import numpy as np
+
+        shape = (mesh.nx, mesh.ny)
+        dx64 = np.broadcast_to(np.asarray(mesh.dx), shape)
+        dy64 = np.broadcast_to(np.asarray(mesh.dy), shape)
+        # Derived planes in f64 numpy, THEN cast (the hardware-validated
+        # single-chip precision; at f64 the local-view planes match these
+        # bit-for-bit).
+        return {
+            "area": jnp.asarray(
+                np.broadcast_to(np.asarray(mesh.cell_area), shape), dtype
+            ),
+            "inv_dx": jnp.asarray(1.0 / dx64, dtype),
+            "inv_dy": jnp.asarray(1.0 / dy64, dtype),
+            "half_dx": jnp.asarray(0.5 * dx64, dtype),
+            "half_dy": jnp.asarray(0.5 * dy64, dtype),
+        }
 
     # -- per-element strain rates from CG1 velocity --------------------------
     def strain_rates(self, u, v, metric=None):
@@ -453,9 +497,13 @@ class MEVPSolver:
         # Lumped nodal ice mass per unit area [kg m-2] (area-weighted over
         # the adjacent elements — exact for graded meshes), clamped.
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
-        cell_area = jnp.broadcast_to(
-            jnp.asarray(self.mesh.cell_area, dtype=dtype), h.shape
-        )
+        metric = self._metric_planes(dtype)
+        if metric is None:
+            cell_area = jnp.broadcast_to(
+                jnp.asarray(self.mesh.cell_area, dtype=dtype), h.shape
+            )
+        else:
+            cell_area = metric["area"]
         node_area = cell_to_node(cell_area, px, py, self.spmd)
         m_node = p.rho_ice * cell_to_node(
             h * cell_area, px, py, self.spmd
@@ -496,24 +544,22 @@ class MEVPSolver:
         )
         if p.a_weighted_stress:
             consts["a_node"] = a_node
-        if not self.mesh.uniform:
+        if metric is not None:
             # Per-node quarter-area weights for the force normalization,
             # plus the per-element metric planes (inv widths for the
             # strain gradients, half face-lengths for the stress-divergence
             # scatter weights). Full (nx, ny) planes — the land-mask
             # pattern — so graded/spherical meshes ride the fused/tiled
             # Pallas kernels as 5 extra const planes instead of being
-            # excluded (Mosaic rejects captured array constants).
-            import numpy as np
-
-            shape = (self.mesh.nx, self.mesh.ny)
-            dx64 = np.broadcast_to(np.asarray(self.mesh.dx), shape)
-            dy64 = np.broadcast_to(np.asarray(self.mesh.dy), shape)
+            # excluded (Mosaic rejects captured array constants). For a
+            # LocalMeshView the planes are this device's traced block of
+            # the global metric (bit-identical at f64 to the static
+            # single-device planes — tests/test_shardmap_metric.py).
             consts["inv_w"] = 1.0 / node_area
-            consts["inv_dx"] = jnp.asarray(1.0 / dx64, dtype)
-            consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
-            consts["half_dx"] = jnp.asarray(0.5 * dx64, dtype)
-            consts["half_dy"] = jnp.asarray(0.5 * dy64, dtype)
+            consts["inv_dx"] = metric["inv_dx"]
+            consts["inv_dy"] = metric["inv_dy"]
+            consts["half_dx"] = metric["half_dx"]
+            consts["half_dy"] = metric["half_dy"]
         return consts
 
     def _blocked_inner_engine(self, nxw: int, nyw: int) -> str:
@@ -570,10 +616,15 @@ class MEVPSolver:
             return halo_widen(f, h, 1, py, ax_y)
 
         # A local solver on the widened block: closed shifts, no spmd.
+        # Non-uniform geometry (LocalMeshView) travels entirely via the
+        # widened metric const planes — subcycle_body keys on the consts,
+        # so the shim mesh is a unit uniform mesh then (zero ghost metric
+        # beyond global walls is inert: every metric use is a multiply).
         local = MEVPSolver(
             RectMesh(
                 nx=nx + 2 * h, ny=ny + 2 * h,
-                dx=self.mesh.dx, dy=self.mesh.dy,
+                dx=self.mesh.dx if self.mesh.uniform else 1.0,
+                dy=self.mesh.dy if self.mesh.uniform else 1.0,
             ),
             self.params,
             backend="xla",
@@ -640,10 +691,13 @@ class MEVPSolver:
             return f
 
         consts_w = {name: widen(value) for name, value in consts.items()}
+        # Shim mesh: unit uniform when the geometry rides the metric const
+        # planes (LocalMeshView — subcycle_body keys on the consts).
         local = MEVPSolver(
             RectMesh(
                 nx=self.mesh.nx, ny=self.mesh.ny,
-                dx=self.mesh.dx, dy=self.mesh.dy,
+                dx=self.mesh.dx if self.mesh.uniform else 1.0,
+                dy=self.mesh.dy if self.mesh.uniform else 1.0,
             ),
             self.params,
             backend="xla",

@@ -278,25 +278,31 @@ class MEVPSolverHO:
         )
         return self.scatter_local(fu_loc), self.scatter_local(fv_loc)
 
-    def node_weights(self, dtype=jnp.float64) -> HOField:
-        """W_n = int phi_n dA accumulated per owned node (area weights)."""
-        area = jnp.broadcast_to(
-            jnp.asarray(self.mesh.cell_area, dtype=dtype),
-            (self.mesh.nx, self.mesh.ny),
-        )
+    def node_weights(self, dtype=jnp.float64, area=None) -> HOField:
+        """W_n = int phi_n dA accumulated per owned node (area weights).
+
+        ``area``: optional (nx, ny) element-area plane override — the
+        LocalMeshView path (this device's traced block of the global
+        areas) passes it from ``step_consts``."""
+        if area is None:
+            area = jnp.broadcast_to(
+                jnp.asarray(self.mesh.cell_area, dtype=dtype),
+                (self.mesh.nx, self.mesh.ny),
+            )
         contribs = jnp.stack(
             [float(self.tables.lumped_mass[n]) * area for n in range(9)]
         )
         return self.scatter_local(contribs)
 
-    def node_thickness(self, h) -> HOField:
+    def node_thickness(self, h, area=None) -> HOField:
         """Lumped-mass-weighted ice thickness at nodes: sum(h W)/sum(W)."""
-        area = jnp.asarray(self.mesh.cell_area, dtype=h.dtype)
+        if area is None:
+            area = jnp.asarray(self.mesh.cell_area, dtype=h.dtype)
         contribs = jnp.stack(
             [float(self.tables.lumped_mass[n]) * area * h for n in range(9)]
         )
         num = self.scatter_local(contribs)
-        den = self.node_weights(dtype=h.dtype)
+        den = self.node_weights(dtype=h.dtype, area=jnp.broadcast_to(area, h.shape))
         return HOField(
             v=num.v / den.v, b=num.b / den.b, l=num.l / den.l, c=num.c / den.c
         )
@@ -341,15 +347,20 @@ class MEVPSolverHO:
         """'single[-interpret]' (fused VMEM-resident Pallas), 'tiled',
         'blocked' (shard_map ghost zones) or 'xla'."""
         if any(axis is not None for axis in self.spmd):
+            # Non-uniform geometry under shard_map must arrive as a
+            # LocalMeshView (per-device traced metric planes riding the
+            # consts; see MEVPSolver._kernel_choice).
+            metric_ok = self.mesh.uniform or self.mesh.is_local_view
             if self.backend in ("blocked", "blocked-interpret"):
-                if not self.mesh.uniform:
+                if not metric_ok:
                     raise NotImplementedError(
-                        "blocked halo exchange requires a uniform local mesh"
+                        "blocked exchange under shard_map needs a uniform "
+                        "local mesh or a LocalMeshView of the global mesh"
                     )
                 return "blocked"
             if (
                 self.backend == "auto"
-                and self.mesh.uniform
+                and metric_ok
                 and jax.default_backend() == "tpu"
                 and min(self.mesh.nx, self.mesh.ny) >= self.block_halo
             ):
@@ -420,20 +431,32 @@ class MEVPSolverHO:
         consts = {
             "strength": p.p_star * h * jnp.exp(-p.c_compaction * (1.0 - a))
         }
+        area = None
         if not self.mesh.uniform:
             # Per-element metric planes so graded/spherical meshes ride
             # the fused/tiled HO Pallas kernels (the land-mask pattern;
-            # Mosaic rejects captured array constants).
-            shape = (self.mesh.nx, self.mesh.ny)
-            dx64 = np.broadcast_to(np.asarray(self.mesh.dx), shape)
-            dy64 = np.broadcast_to(np.asarray(self.mesh.dy), shape)
-            consts["dx"] = jnp.asarray(dx64, dtype)
-            consts["dy"] = jnp.asarray(dy64, dtype)
-            consts["inv_dx"] = jnp.asarray(1.0 / dx64, dtype)
-            consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
-        h_node = self.node_thickness(h)
-        weights = self.node_weights(dtype=dtype)
-        a_node = self.node_thickness(a) if p.a_weighted_stress else None
+            # Mosaic rejects captured array constants). LocalMeshView
+            # (shard_map over a non-uniform global mesh): this device's
+            # traced block of the global metric — bit-identical at f64 to
+            # the static single-device planes.
+            if self.mesh.is_local_view:
+                m = self.mesh.local_metric(self.spmd, dtype)
+                consts["dx"] = m["dx"]
+                consts["dy"] = m["dy"]
+                consts["inv_dx"] = 1.0 / m["dx"]
+                consts["inv_dy"] = 1.0 / m["dy"]
+                area = m["area"]
+            else:
+                shape = (self.mesh.nx, self.mesh.ny)
+                dx64 = np.broadcast_to(np.asarray(self.mesh.dx), shape)
+                dy64 = np.broadcast_to(np.asarray(self.mesh.dy), shape)
+                consts["dx"] = jnp.asarray(dx64, dtype)
+                consts["dy"] = jnp.asarray(dy64, dtype)
+                consts["inv_dx"] = jnp.asarray(1.0 / dx64, dtype)
+                consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
+        h_node = self.node_thickness(h, area=area)
+        weights = self.node_weights(dtype=dtype, area=area)
+        a_node = self.node_thickness(a, area=area) if p.a_weighted_stress else None
         for k in PLANES:
             m = p.rho_ice * getattr(h_node, k)
             dm = dt / jnp.maximum(m, p.min_ice_mass)
@@ -605,10 +628,14 @@ class MEVPSolverHO:
             return halo_widen(f, h, f.ndim - 1, py, ax_y)
 
         # A local solver on the widened block: closed shifts, no spmd.
+        # Non-uniform geometry (LocalMeshView) travels entirely via the
+        # widened metric const planes — subcycle_body keys on the consts,
+        # so the shim mesh is a unit uniform mesh then.
         local = MEVPSolverHO(
             RectMesh(
                 nx=nx + 2 * h, ny=ny + 2 * h,
-                dx=self.mesh.dx, dy=self.mesh.dy,
+                dx=self.mesh.dx if self.mesh.uniform else 1.0,
+                dy=self.mesh.dy if self.mesh.uniform else 1.0,
             ),
             self.params,
             backend="xla",

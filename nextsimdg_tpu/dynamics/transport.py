@@ -180,8 +180,12 @@ def cfl_substeps(
     c_stab = 0.85 / (2 * degree + 1)
     # The METRIC widths (mesh.dx, not dx_array): on spherical meshes the
     # zonal width carries cos(phi) and the poleward rows are the tightest.
-    dx_min = float(np.min(np.asarray(mesh.dx)))
-    dy_min = float(np.min(np.asarray(mesh.dy)))
+    # LocalMeshView: the GLOBAL minimum (static, every device agrees) —
+    # conservative for any block, and identical to what the single-device
+    # run uses.
+    geo = mesh.global_mesh if mesh.is_local_view else mesh
+    dx_min = float(np.min(np.asarray(geo.dx)))
+    dy_min = float(np.min(np.asarray(geo.dy)))
     speed_x = jnp.maximum(
         jnp.max(jnp.abs(qv.vx_vol)), jnp.max(jnp.abs(qv.vn_x))
     )
@@ -252,6 +256,19 @@ class DGTransport:
         """
         if self.mesh.uniform:
             return None
+        if self.mesh.is_local_view:
+            # This device's traced block of the global metric (shard_map;
+            # NOT cached — the planes embed lax.axis_index). Derived in
+            # dtype from f64 factors: bit-identical to the static planes
+            # at f64.
+            m = self.mesh.local_metric(self.spmd, dtype)
+            return {
+                "inv_dx": 1.0 / m["dx"],
+                "inv_dy": 1.0 / m["dy"],
+                "face_x": m["face_x"],
+                "face_y": m["face_y"],
+                "inv_area": 1.0 / m["area"],
+            }
         key = jnp.dtype(dtype).name
         if key not in self._metric_cache:
             mesh = self.mesh
@@ -497,11 +514,16 @@ class DGTransport:
             m = jnp.sign(a) * jnp.minimum(jnp.abs(a), jnp.minimum(jnp.abs(b), jnp.abs(c)))
             return jnp.where(same, m, 0.0)
 
-        # TVB tolerance M dx^2 (physical widths; per-element on graded meshes).
+        # TVB tolerance M dx^2 (physical widths; per-element on graded meshes;
+        # LocalMeshView: this device's traced block of the global widths).
         from .mevp import _metric
 
-        dx = _metric(mesh.dx, dtype)
-        dy = _metric(mesh.dy, dtype)
+        if mesh.is_local_view:
+            m = mesh.local_metric(self.spmd, dtype)
+            dx, dy = m["dx"], m["dy"]
+        else:
+            dx = _metric(mesh.dx, dtype)
+            dy = _metric(mesh.dy, dtype)
         tol_x = self.tvb_m * dx * dx
         tol_y = self.tvb_m * dy * dy
 

@@ -51,16 +51,27 @@ def build_sharded_coupled_model(
             f"grid {global_mesh.nx}x{global_mesh.ny} not divisible by "
             f"device mesh {px}x{py}"
         )
-    local_mesh = RectMesh(
-        nx=global_mesh.nx // px,
-        ny=global_mesh.ny // py,
-        dx=global_mesh.dx,
-        dy=global_mesh.dy,
-        x0=global_mesh.x0,
-        y0=global_mesh.y0,
-        periodic_x=global_mesh.periodic_x,
-        periodic_y=global_mesh.periodic_y,
-    )
+    if global_mesh.uniform:
+        local_mesh = RectMesh(
+            nx=global_mesh.nx // px,
+            ny=global_mesh.ny // py,
+            dx=global_mesh.dx,
+            dy=global_mesh.dy,
+            x0=global_mesh.x0,
+            y0=global_mesh.y0,
+            periodic_x=global_mesh.periodic_x,
+            periodic_y=global_mesh.periodic_y,
+        )
+    else:
+        # Graded/spherical global meshes: each device's block has ITS OWN
+        # metric, which one shard_map trace cannot hold statically — the
+        # LocalMeshView slices the global metric factors by device
+        # coordinates at trace time, and the solvers route it through
+        # their metric const planes (so the blocked/tiled/RDMA fast paths
+        # keep working; see dynamics.mesh.LocalMeshView).
+        from ..dynamics.mesh import LocalMeshView
+
+        local_mesh = LocalMeshView(global_mesh, px, py)
     model = CoupledModel(local_mesh, degree=degree, spmd=("X", "Y"), **model_kwargs)
 
     @partial(jax.jit, static_argnames=("dt", "do_dynamics", "do_thermo"))
