@@ -243,12 +243,14 @@ class CoupledModel:
         spmd = any(axis is not None for axis in self.spmd)
         if spmd and (
             self.transport.tvb_m is not None
-            or not mesh.uniform
+            or not (mesh.uniform or mesh.is_local_view)
             or mesh.periodic_x
             or mesh.periodic_y
         ):
-            # TVB wall ghosts / graded local-mesh slicing / periodic
-            # global wrap: staged spmd path.
+            # TVB wall ghosts / statically-non-uniform local mesh /
+            # periodic global wrap: staged spmd path. (Non-uniform
+            # LocalMeshView meshes DO ride the tiled kernel — their
+            # widened metric planes travel as consts.)
             return None
         if not mesh.uniform and self.transport.tvb_m is not None:
             return None  # graded TVB tolerance planes: staged path

@@ -112,6 +112,7 @@ def transport_substeps_tiled(
     interpret: bool = False,
     tile_x: int = None,
     qv=None,  # precomputed QuadVelocity (HO path) instead of (u, v)
+    metric=None,  # explicit metric planes (spmd wrapper) overriding the mesh's
 ):
     """Run k transport substeps via ghost-zone tiles; returns the tracers.
 
@@ -120,6 +121,9 @@ def transport_substeps_tiled(
     bit-identical to the global sampling in the valid region), or a
     precomputed ``qv`` (the HO path — its 24 quadrature planes ride the
     kernel as constants; the CG2 sampling stays outside).
+    ``metric``: explicit per-element metric planes (the spmd wrapper
+    passes the device's WIDENED local planes — the shim mesh is uniform,
+    so they cannot be derived here).
     """
     from ..mesh import RectMesh
     from ..transport import DGTransport, QuadVelocity, velocity_from_cg
@@ -179,8 +183,10 @@ def transport_substeps_tiled(
             + [qv.vn_y[i] for i in range(qv_counts[3])]
         )
     # Graded/spherical meshes: the 5 metric planes ride as extra consts
-    # (zero rings = no flux/zero gradients in the discarded ghost zone).
-    metric = model.transport.metric_planes(dtype)
+    # (zero rings = no flux/zero gradients in the discarded ghost zone —
+    # every metric use in the rhs is a multiply).
+    if metric is None:
+        metric = model.transport.metric_planes(dtype)
     metric_names = tuple(sorted(metric)) if metric is not None else ()
     if metric is not None:
         const_planes = const_planes + [metric[name] for name in metric_names]
@@ -377,7 +383,12 @@ def transport_tiled_spmd_config(model, n_tracers: int = 3, min_local: int = 6553
     """
     mesh = model.mesh  # the per-device LOCAL block
     tr = model.transport
-    if not mesh.uniform or mesh.periodic_x or mesh.periodic_y:
+    # Non-uniform geometry is supported via a LocalMeshView (the device's
+    # widened metric planes ride the kernel as 5 extra consts); a plain
+    # non-uniform local mesh would replicate one block's static metric.
+    if not (mesh.uniform or mesh.is_local_view):
+        return None
+    if mesh.periodic_x or mesh.periodic_y:
         return None
     if not any(axis is not None for axis in model.spmd):
         return None
@@ -388,6 +399,8 @@ def transport_tiled_spmd_config(model, n_tracers: int = 3, min_local: int = 6553
     rings = _rings_per_substep(tr)
     n_dofs = tr.basis.n_dofs
     planes = 4 + 24 + 10 * n_dofs * n_tracers + 12
+    if not mesh.uniform:
+        planes += 5  # the widened metric const planes
     budget = _VMEM_BUDGET // (planes * 4)
     # H: sublane-aligned; larger H amortizes the exchange over more
     # substeps at ((n+2H)/n)^2 redundancy — with k rarely above ~8 the
@@ -494,9 +507,23 @@ def transport_substeps_tiled_spmd(
         )
         vel_kw = dict(qv=qv_w)
 
+    # Non-uniform geometry (LocalMeshView): the device's metric planes,
+    # widened like every other const (ppermute strips carry the NEIGHBOR
+    # metric; zero strips beyond global walls are inert — multiplies
+    # only) and handed to the single-chip kernel explicitly, since the
+    # shim mesh below is uniform.
+    metric_kw = {}
+    local_metric = tr.metric_planes(dtype)
+    if local_metric is not None:
+        metric_kw["metric"] = {
+            name: widen(plane) for name, plane in local_metric.items()
+        }
+
     # The single-chip kernel's "model" on the widened (+lane-padded) block.
     local_mesh = RectMesh(
-        nx=nx + 2 * H, ny=ny + 2 * H + lane_pad, dx=mesh.dx, dy=mesh.dy
+        nx=nx + 2 * H, ny=ny + 2 * H + lane_pad,
+        dx=mesh.dx if mesh.uniform else 1.0,
+        dy=mesh.dy if mesh.uniform else 1.0,
     )
     local_model = SimpleNamespace(
         mesh=local_mesh,
@@ -515,7 +542,7 @@ def transport_substeps_tiled_spmd(
         padded = transport_substeps_tiled(
             local_model, padded, dt_sub=dt_sub, k=n_sub,
             face_masks=(fx_w, fy_w), interpret=interpret, tile_x=tile_x,
-            **vel_kw,
+            **vel_kw, **metric_kw,
         )
         return padded[:, :, H : H + nx, H : H + ny], done + n_sub
 

@@ -239,6 +239,86 @@ def test_shardmap_coupled_nonuniform_matches_single_device(geometry):
             )
 
 
+@pytest.mark.parametrize("geometry", ["graded", "spherical"])
+def test_shardmap_tiled_transport_nonuniform_matches_staged(geometry):
+    """The blocked spmd tiled transport on a non-uniform global mesh:
+    the widened metric planes ride the single-chip kernel as consts and
+    must reproduce the staged single-device result."""
+    n = 16
+    mesh = graded_mesh(n) if geometry == "graded" else spherical_mesh(n)
+    ref_model = CoupledModel(mesh, degree=1, n_subcycles=10)
+    state = ref_model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=jnp.float64)
+    pf, df = _coupled_setup(mesh)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    model, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10,
+        transport_backend="tiled-interpret",
+        mevp_backend="blocked-interpret", mevp_block_halo=4,
+    )
+    assert model._tiled_transport_mode() == "interpret-spmd"
+    got = sharded_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-11,
+            err_msg=geometry,
+        )
+
+
+@pytest.mark.parametrize(
+    "shape,spmd",
+    [
+        ((4, 1), ("X", None)),  # 1-D x strips
+        ((2, 2), ("X", "Y")),   # 2-D + two-phase corner exchange
+    ],
+)
+def test_rdma_nonuniform_matches_single_device(shape, spmd):
+    """RDMA overlapped halo exchange on a GRADED global mesh: the widened
+    metric const planes flow through the in-kernel band re-runs."""
+    n = 32
+    mesh = graded_mesh(n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 11)
+
+    device_mesh = make_spatial_mesh(shape)
+    local = LocalMeshView(mesh, *shape)
+    spec = P(*spmd)
+    solver = MEVPSolver(
+        local, MEVPParams(), backend="rdma-interpret", spmd=spmd, block_halo=4
+    )
+
+    def step_local(s, hh, aa, d):
+        mask = solver.boundary_mask(dtype)
+        return solver.step(s, hh, aa, d, mask, 600.0, 11)
+
+    got = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(lambda _: spec, state),
+                spec, spec, jax.tree.map(lambda _: spec, df),
+            ),
+            out_specs=jax.tree.map(lambda _: spec, state),
+            check_vma=False,
+        )
+    )(state, h, a, df)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11,
+            err_msg=f"{shape} {spmd}",
+        )
+
+
 def test_shardmap_coupled_ho_spherical_matches_single_device():
     """The BASELINE config-5 shape: spherical mesh + HO dynamics +
     coastline mask, sharded over the 8-device mesh with the blocked
