@@ -147,7 +147,10 @@ def ho_subcycles_tiled(
             for name, value in consts.items()
         }
     if tile_x is None:
-        tile_x, halo_x = ho_tiled_config(nx, ny)
+        # Budget with the TRUE const count: graded/spherical (+4) and
+        # A-weighted (+4) runs carry 33/37 planes, and a tile budgeted
+        # for 29 can blow the Mosaic VMEM margin (advisor r3 finding).
+        tile_x, halo_x = ho_tiled_config(nx, ny, n_consts=len(consts))
     if nx % tile_x:
         raise ValueError(f"grid rows ({nx}) not divisible by tile_x ({tile_x})")
     n_ti = nx // tile_x
@@ -164,13 +167,18 @@ def ho_subcycles_tiled(
     total = n_rounds * n_ti
     # Cross-round prefetch + one-tile-deferred write-back feasibility
     # (static). A round-(r+1) tile t's block reads interiors written by
-    # round-r tiles t-1..t+1 (full-row stencil reach 1); the prefetch for
-    # tile g+2 is issued at tile g AFTER retiring the write of tile g-1,
-    # so every round-r write it depends on is known complete iff
-    # (n_ti - 2) >= 1 + 1  <=>  n_ti >= 4. Below that, prefetch stays
-    # round-local, round-leading tiles self-start their loads, and
-    # write-backs are waited inline (the CG1 fallback discipline).
-    cross_prefetch = n_ti >= 4
+    # round-r tiles t-reach..t+reach, reach = ceil(halo_x / tile_x)
+    # (ho_tiled_config never returns halo_x > tile_x, i.e. reach 1, but
+    # caller-supplied tile kwargs could — and interpret-mode tests cannot
+    # catch the resulting DMA race, so the reach is computed, not
+    # assumed; advisor r3 finding). The prefetch for tile g+2 is issued
+    # at tile g AFTER retiring the write of tile g-1, so every round-r
+    # write it depends on is known complete iff
+    # (n_ti - 2) >= reach + 1. Below that, prefetch stays round-local,
+    # round-leading tiles self-start their loads, and write-backs are
+    # waited inline (the CG1 fallback discipline).
+    reach = -(-halo_x // tile_x)
+    cross_prefetch = (n_ti - 2) >= reach + 1
     defer_out = cross_prefetch
 
     def kernel(consts_ref, states_in, states_io, c_scr, s_scr, staging,

@@ -159,6 +159,18 @@ def ho_velocity_to_quad(mesh: RectMesh, basis, u: HOField, v: HOField, spmd=(Non
     return QuadVelocity(vx_vol=vx_vol, vy_vol=vy_vol, vn_x=vn_x, vn_y=vn_y)
 
 
+def _ho_tiled_reasonable(cfg) -> bool:
+    """Shape guard for the HO tiled auto-selection (advisor r3 finding).
+
+    The 384^2..2048^2 sweep that validated "tiled beats XLA above the
+    single-block limit" covered configs with <=1.3x halo-redundant
+    compute; degenerate aspect ratios (very wide ny forcing tile_x 16/8)
+    reach 2-3x redundancy, where tiled may regress — fall back to XLA
+    there rather than extrapolate."""
+    tile_x, halo_x = cfg
+    return (tile_x + 2 * halo_x) / tile_x <= 1.75
+
+
 class MEVPSolverHO:
     """Higher-order mEVP solver. API parallels ``MEVPSolver.step``."""
 
@@ -401,11 +413,12 @@ class MEVPSolverHO:
         # beats XLA's 46-plane-per-subcycle re-streaming (measured v5e:
         # 1.06x at 384^2, 1.44x at 512^2, 3.0x at 768^2, 3.2x at 1024^2 —
         # XLA's effective bandwidth degrades with working-set size).
+        cfg = ho_tiled_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
         if (
             not self.mesh.periodic_x
             and not self.mesh.periodic_y
-            and ho_tiled_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
-            is not None
+            and cfg is not None
+            and _ho_tiled_reasonable(cfg)
         ):
             return "tiled"
         return "xla"
@@ -501,8 +514,13 @@ class MEVPSolverHO:
         proj = (t.phi_dg1 * t.w_vol[None, :]) * (
             1.0 / np.array([1.0, 1 / 12, 1 / 12])
         )[:, None]
-        phi_at_q = t.phi_dg1  # (3, NQ)
 
+        # NOTE (round 4): folding the strain dG1 round trip into direct
+        # gradient-at-Gauss-point tables (grad_to_dg1^T @ phi_dg1) was
+        # implemented and MEASURED SLOWER on v5e (3.21e7 vs 3.27e7 el/s,
+        # ho_coupled_512): the composed (9, NQ) tables are dense (2x36
+        # MACs) while this factored pair exploits the projection tables'
+        # sparsity (2x19 + 3x12 = 112 total) — see docs/performance.md.
         graded = "inv_dx" in consts
         e11, e22, e12 = self.strain_rates(
             u, v,
@@ -511,6 +529,7 @@ class MEVPSolverHO:
         )
 
         # VP law at Gauss points, projected back to dG1.
+        phi_at_q = t.phi_dg1  # (3, NQ)
         e11_q = apply_table(phi_at_q, e11)
         e22_q = apply_table(phi_at_q, e22)
         e12_q = apply_table(phi_at_q, e12)
@@ -595,8 +614,10 @@ class MEVPSolverHO:
         from .kernels.mevp_ho_tiled import ho_tiled_config
 
         # Same threshold as _kernel_choice: tiled beats XLA at every size
-        # above the single-block limit (measured 384^2..1024^2 sweep).
-        if ho_tiled_config(nxw, nyw, n_consts=self._n_consts()) is not None:
+        # above the single-block limit (measured 384^2..1024^2 sweep),
+        # with the same degenerate-shape redundancy guard.
+        cfg = ho_tiled_config(nxw, nyw, n_consts=self._n_consts())
+        if cfg is not None and _ho_tiled_reasonable(cfg):
             return "tiled"
         return "xla"
 
