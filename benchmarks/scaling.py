@@ -30,6 +30,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# The axon site plugin config-overrides JAX_PLATFORMS at import; re-assert
+# the env so `JAX_PLATFORMS=cpu` harness validation runs actually use the
+# forced CPU mesh (same dance as __graft_entry__.dryrun_multichip).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 from nextsimdg_tpu.coupled import CoupledModel
@@ -104,7 +114,7 @@ def run_once(devices, local_n: int, chunk: int = 32, path: str = "gspmd") -> flo
         elif path == "rdma":
             backend = "rdma" if jax.default_backend() == "tpu" else "rdma-interpret"
             kwargs = dict(mevp_backend=backend, mevp_block_halo=BLOCK_HALO)
-        _, sharded_step = build_sharded_coupled_model(
+        model, sharded_step = build_sharded_coupled_model(
             rmesh, mesh, degree=1, n_subcycles=100, **kwargs
         )
 
@@ -126,7 +136,23 @@ def run_once(devices, local_n: int, chunk: int = 32, path: str = "gspmd") -> flo
         t0 = time.perf_counter()
         state = run_synced(state)
         best = min(best, time.perf_counter() - t0)
-    return nx * ny * chunk / best
+
+    # Which kernels this cell ACTUALLY selects (round-3 verdict weak #5:
+    # the tiled-transport min_local fallback was invisible). Note these
+    # are the selections for THIS (devices, local-size) cell — small
+    # per-device blocks silently fall back to staged XLA transport.
+    mevp_kernel = model.mevp._kernel_choice()
+    if mevp_kernel == "blocked":
+        h = getattr(model.mevp, "block_halo", 0)
+        inner = model.mevp._blocked_inner_engine(
+            model.mesh.nx + 2 * h, model.mesh.ny + 2 * h
+        )
+        mevp_kernel = f"blocked/{inner}"
+    selected = {
+        "mevp": mevp_kernel,
+        "transport": model._tiled_transport_mode() or "staged-xla",
+    }
+    return nx * ny * chunk / best, selected
 
 
 def main(argv) -> None:
@@ -152,7 +178,9 @@ def main(argv) -> None:
         # chunk so harness runs stay short.
         chunk = 32 if path == "gspmd" else 8
         for k in counts:
-            throughput = run_once(devices[:k], local_n, chunk=chunk, path=path)
+            throughput, selected = run_once(
+                devices[:k], local_n, chunk=chunk, path=path
+            )
             if base is None:
                 base = throughput
             efficiency = throughput / (base * k)
@@ -162,6 +190,7 @@ def main(argv) -> None:
                 "elements_per_s": float(f"{throughput:.4g}"),
                 "weak_scaling_efficiency": float(f"{efficiency:.4g}"),
                 "local_grid": f"{local_n}x{local_n}",
+                "selected_kernels": selected,
             }), flush=True)
 
 
