@@ -42,8 +42,10 @@ mode on a CPU device mesh (a single real chip cannot exercise a ring);
 the Mosaic lowering is compile-checked on hardware via a 1-device
 ('X','Y') mesh whose ring RDMAs degenerate to self-copies.
 
-Scope: uniform local meshes; closed or periodic global domains (the ring
-wrap IS the periodic condition — wall zeroing is simply skipped).
+Scope: uniform local meshes or LocalMeshView (non-uniform geometry rides
+the widened metric const planes); closed or periodic global domains (the
+ring wrap IS the periodic condition — wall zeroing is simply skipped);
+CG1 (5 planes) and HO/CG2-dG1 (17 planes) via the ``body_fn`` adapter.
 """
 
 from __future__ import annotations
@@ -57,23 +59,31 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def mevp_round_rdma(
-    local_solver,  # MEVPSolver on the LOCAL (nx, ny) mesh (static)
-    state_arrays,  # (u, v, s11, s22, s12), each local (nx, ny)
-    consts_w,  # the 7 const planes widened by h on every SHARDED axis
-    dt: float,
+    body_fn,  # one-subcycle body: (planes tuple, consts dict) -> planes
+    state_arrays,  # N state planes, each local (nx, ny) — 5 CG1, 17 HO
+    consts_w,  # the const planes widened by h on every SHARDED axis
     n_sub: int,  # subcycles this round (<= h)
     h: int,  # ghost width = max subcycles per round
     axes,  # (x_axis_name | None, y_axis_name | None) — at least one set
     periodic=(False, False),
     interpret=False,
 ):
-    """One ghost-zone round with RDMA overlap; returns the 5 state planes."""
+    """One ghost-zone round with RDMA overlap; returns the state planes.
+
+    Generic over the plane count: the CG1 solver passes its 5 planes and
+    a ``subcycle_body`` adapter; the HO (CG2/dG1) solver passes its 17
+    (flattened via ``mevp_ho_tiled._flatten_state``) — both bodies
+    invalidate exactly one ghost ring per subcycle (CG1's strain/scatter
+    pair, HO's gather(+1)/scatter(-1) pair), so the band argument is
+    identical.
+    """
     if interpret is True:
         # The generic Pallas interpreter has no remote-DMA semantics; the
         # TPU interpret machinery simulates them (incl. semaphores).
         interpret = pltpu.InterpretParams(dma_execution_mode="eager")
     ax_x, ax_y = axes
     px, py = periodic
+    n_s = len(state_arrays)
     nx, ny = state_arrays[0].shape
     dtype = state_arrays[0].dtype
     if ax_x is not None and nx < 2 * h:
@@ -86,34 +96,34 @@ def mevp_round_rdma(
     hy = h if ax_y is not None else 0
     nxe = nxw  # x extent of the extended y strips/bands
 
-    states = jnp.stack(state_arrays)  # (5, nx, ny)
-    # Generic over the per-step const planes (7 uniform; +a_node when
-    # A-weighted — the solver guarantees a uniform local mesh here).
+    states = jnp.stack(state_arrays)  # (n_s, nx, ny)
+    # Generic over the per-step const planes (7/12 CG1, 29-37 HO; metric
+    # planes for LocalMeshView meshes ride here like any other const).
     const_names = tuple(sorted(consts_w))
     consts_stack = jnp.stack([consts_w[name] for name in const_names])
     assert consts_stack.shape[1:] == (nxw, nyw), consts_stack.shape
 
     # Scratch layout (name -> shape), built to match the kernel unpack.
     scratch_shapes = [
-        pltpu.VMEM((5, nx, ny), dtype),      # s_vmem: state block
+        pltpu.VMEM((n_s, nx, ny), dtype),    # s_vmem: state block
         pltpu.VMEM((len(const_names), nxw, nyw), dtype),  # c_vmem: widened consts
         pltpu.SemaphoreType.DMA((4,)),       # local copy sems
     ]
     if ax_x is not None:
         scratch_shapes += [
-            pltpu.VMEM((5, h, ny), dtype),   # send_x_lo
-            pltpu.VMEM((5, h, ny), dtype),   # send_x_hi
-            pltpu.VMEM((5, h, ny), dtype),   # recv_x_lo
-            pltpu.VMEM((5, h, ny), dtype),   # recv_x_hi
+            pltpu.VMEM((n_s, h, ny), dtype),   # send_x_lo
+            pltpu.VMEM((n_s, h, ny), dtype),   # send_x_hi
+            pltpu.VMEM((n_s, h, ny), dtype),   # recv_x_lo
+            pltpu.VMEM((n_s, h, ny), dtype),   # recv_x_hi
             pltpu.SemaphoreType.DMA((2,)),   # x send sems
             pltpu.SemaphoreType.DMA((2,)),   # x recv sems
         ]
     if ax_y is not None:
         scratch_shapes += [
-            pltpu.VMEM((5, nxe, h), dtype),  # send_y_lo (x-extended)
-            pltpu.VMEM((5, nxe, h), dtype),  # send_y_hi
-            pltpu.VMEM((5, nxe, h), dtype),  # recv_y_lo
-            pltpu.VMEM((5, nxe, h), dtype),  # recv_y_hi
+            pltpu.VMEM((n_s, nxe, h), dtype),  # send_y_lo (x-extended)
+            pltpu.VMEM((n_s, nxe, h), dtype),  # send_y_hi
+            pltpu.VMEM((n_s, nxe, h), dtype),  # recv_y_lo
+            pltpu.VMEM((n_s, nxe, h), dtype),  # recv_y_hi
             pltpu.SemaphoreType.DMA((2,)),   # y send sems
             pltpu.SemaphoreType.DMA((2,)),   # y recv sems
         ]
@@ -225,14 +235,14 @@ def mevp_round_rdma(
             name: c_vmem[idx, hx : hx + nx, hy : hy + ny]
             for idx, name in enumerate(const_names)
         }
-        carry0 = tuple(s_vmem[k] for k in range(5))
+        carry0 = tuple(s_vmem[k] for k in range(n_s))
 
         def body(_, carry):
-            return local_solver.subcycle_body(carry, kconsts, dt)
+            return body_fn(carry, kconsts)
 
         # ---- INTERIOR PASS (overlaps the RDMA flight) -------------------
         interior = jax.lax.fori_loop(0, n_sub, body, carry0)
-        for k in range(5):
+        for k in range(n_s):
             s_vmem[k] = interior[k]
 
         def run_band(carry, consts):
@@ -241,7 +251,7 @@ def mevp_round_rdma(
             }
             return jax.lax.fori_loop(
                 0, n_sub,
-                lambda _, c: local_solver.subcycle_body(c, bconsts, dt),
+                lambda _, c: body_fn(c, bconsts),
                 carry,
             )
 
@@ -300,19 +310,19 @@ def mevp_round_rdma(
             lo = run_band(
                 tuple(
                     jnp.concatenate([recv_x_lo[k], xband_own_lo[k]], axis=0)
-                    for k in range(5)
+                    for k in range(n_s)
                 ),
                 c_vmem[:, : 3 * h, hy : hy + ny],
             )
             hi = run_band(
                 tuple(
                     jnp.concatenate([xband_own_hi[k], recv_x_hi[k]], axis=0)
-                    for k in range(5)
+                    for k in range(n_s)
                 ),
                 # Widened x coords: band [nx-2h, nx+h) + hx -> [nx-h, nx+2h).
                 c_vmem[:, nx - h :, hy : hy + ny],
             )
-            for k in range(5):
+            for k in range(n_s):
                 s_vmem[k, :h, :] = lo[k][h : 2 * h, :]
                 s_vmem[k, nx - h :, :] = hi[k][h : 2 * h, :]
 
@@ -354,21 +364,21 @@ def mevp_round_rdma(
             lo = run_band(
                 tuple(
                     jnp.concatenate([recv_y_lo[k], ext_lo[k]], axis=1)
-                    for k in range(5)
+                    for k in range(n_s)
                 ),
                 c_vmem[:, :, : 3 * h],
             )
             hi = run_band(
                 tuple(
                     jnp.concatenate([ext_hi[k], recv_y_hi[k]], axis=1)
-                    for k in range(5)
+                    for k in range(n_s)
                 ),
                 # Widened y coords: band [ny-2h, ny+h) + hy -> [ny-h, ny+2h).
                 c_vmem[:, :, ny - h :],
             )
             # Columns patch LAST over all rows — fixing the corners the x
             # bands left garbage.
-            for k in range(5):
+            for k in range(n_s):
                 s_vmem[k, :, :h] = lo[k][hx : hx + nx, h : 2 * h]
                 s_vmem[k, :, ny - h :] = hi[k][hx : hx + nx, h : 2 * h]
 
@@ -379,7 +389,7 @@ def mevp_round_rdma(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((5, nx, ny), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_s, nx, ny), dtype),
         in_specs=[any_spec, any_spec],
         out_specs=any_spec,
         scratch_shapes=scratch_shapes,
@@ -388,4 +398,4 @@ def mevp_round_rdma(
         ),
         interpret=interpret,
     )(consts_stack, states)
-    return tuple(out[k] for k in range(5))
+    return tuple(out[k] for k in range(n_s))

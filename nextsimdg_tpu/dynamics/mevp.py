@@ -703,13 +703,17 @@ class MEVPSolver:
             backend="xla",
         )
         interpret = self.backend == "rdma-interpret"
+
+        def body_fn(planes, kconsts):
+            return local.subcycle_body(planes, kconsts, dt)
+
         carry = carry0
         remaining = n_subcycles
         while remaining > 0:
             n_sub = min(h, remaining)
             remaining -= n_sub
             carry = mevp_round_rdma(
-                local, carry, consts_w, dt, n_sub, h, (ax_x, ax_y),
+                body_fn, carry, consts_w, n_sub, h, (ax_x, ax_y),
                 periodic=(px, py), interpret=interpret,
             )
         return carry

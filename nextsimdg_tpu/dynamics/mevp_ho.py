@@ -363,6 +363,13 @@ class MEVPSolverHO:
             # LocalMeshView (per-device traced metric planes riding the
             # consts; see MEVPSolver._kernel_choice).
             metric_ok = self.mesh.uniform or self.mesh.is_local_view
+            if self.backend in ("rdma", "rdma-interpret"):
+                if not metric_ok:
+                    raise NotImplementedError(
+                        "rdma under shard_map needs a uniform local mesh or "
+                        "a LocalMeshView of the non-uniform global mesh"
+                    )
+                return "rdma"
             if self.backend in ("blocked", "blocked-interpret"):
                 if not metric_ok:
                     raise NotImplementedError(
@@ -695,6 +702,66 @@ class MEVPSolverHO:
             carry = round_body(carry, n_sub)
         return carry
 
+    def _rdma_subcycles(self, carry0, consts, dt, n_subcycles):
+        """Ghost-zone rounds whose halo exchange is an in-kernel RDMA
+        overlapped with the interior compute — the HO instantiation of
+        ``kernels/mevp_rdma.py``: 17 state planes (4+4 CG2 velocity,
+        3x3 dG1 stress coefficients) ride the same two-phase
+        x-then-extended-y band exchange the CG1 solver uses, with the
+        identical one-ring-per-subcycle invalidation argument (the HO
+        gather(+1)/scatter(-1) pair). Consts (29-37 planes) are widened
+        once per step via ppermute; non-uniform geometry (LocalMeshView)
+        travels in those const planes.
+
+        VMEM note: the kernel holds the whole local state + widened
+        consts in VMEM (46+ planes) — local blocks up to ~512^2 at f32;
+        Mosaic fails loudly beyond that.
+        """
+        from .kernels.mevp_ho_tiled import _flatten_state, _unflatten_state
+        from .kernels.mevp_rdma import mevp_round_rdma
+        from .stencil import halo_widen
+
+        ax_x, ax_y = self.spmd
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        h = self.block_halo
+
+        def widen(f):
+            if ax_x is not None:
+                f = halo_widen(f, h, 0, px, ax_x)
+            if ax_y is not None:
+                f = halo_widen(f, h, 1, py, ax_y)
+            return f
+
+        consts_w = {name: widen(value) for name, value in consts.items()}
+        # Shim mesh: unit uniform when the geometry rides the metric const
+        # planes (LocalMeshView — subcycle_body keys on the consts).
+        local = MEVPSolverHO(
+            RectMesh(
+                nx=self.mesh.nx, ny=self.mesh.ny,
+                dx=self.mesh.dx if self.mesh.uniform else 1.0,
+                dy=self.mesh.dy if self.mesh.uniform else 1.0,
+            ),
+            self.params,
+            backend="xla",
+        )
+        interpret = self.backend == "rdma-interpret"
+
+        def body_fn(planes, kconsts):
+            return tuple(_flatten_state(
+                local.subcycle_body(_unflatten_state(list(planes)), kconsts, dt)
+            ))
+
+        carry = tuple(_flatten_state(carry0))
+        remaining = n_subcycles
+        while remaining > 0:
+            n_sub = min(h, remaining)
+            remaining -= n_sub
+            carry = mevp_round_rdma(
+                body_fn, carry, consts_w, n_sub, h, (ax_x, ax_y),
+                periodic=(px, py), interpret=interpret,
+            )
+        return _unflatten_state(list(carry))
+
     @partial(jax.jit, static_argnames=("self", "dt", "n_subcycles"))
     def step(
         self,
@@ -729,6 +796,8 @@ class MEVPSolverHO:
             )
         elif choice == "blocked":
             carry = self._blocked_subcycles(carry0, consts, dt, n_subcycles)
+        elif choice == "rdma":
+            carry = self._rdma_subcycles(carry0, consts, dt, n_subcycles)
         else:
             def subcycle(_, c):
                 return self.subcycle_body(c, consts, dt)
