@@ -162,7 +162,7 @@ def _synthetic_coastline(n: int) -> np.ndarray:
 
 def bench_coupled_1m(
     n=1024, land_mask=False, spherical=False, high_order=False, chunk=16,
-    a_weighted=False,
+    a_weighted=False, periodic=False,
 ) -> dict:
     """BASELINE config 4: coupled thermo+dynamics, ~1M elements.
 
@@ -189,7 +189,10 @@ def bench_coupled_1m(
         # Pan-Arctic-style window; zonal widths carry cos(latitude).
         mesh = SphericalMesh(n, n, lon0=-40.0, lon1=40.0, lat0=55.0, lat1=85.0)
     else:
-        mesh = RectMesh(nx=n, ny=n, dx=4e3, dy=4e3)
+        mesh = RectMesh(
+            nx=n, ny=n, dx=4e3, dy=4e3,
+            periodic_x=periodic, periodic_y=periodic,
+        )
     ocean = _synthetic_coastline(n) if land_mask else None
     loader = ModuleRegistry.get_loader()
     if high_order:
@@ -217,6 +220,7 @@ def bench_coupled_1m(
         ", spherical lon-lat" if spherical else "",
         ", CG2/dG1" if high_order else "",
         ", A-weighted" if a_weighted else "",
+        ", periodic" if periodic else "",
     ])
     return {
         "metric": (
@@ -361,6 +365,11 @@ CONFIGS = {
     # the single-block kernel tops out ~371^2 and the 1M auto gate fell).
     "ho_coupled_512": lambda: bench_coupled_1m(n=512, high_order=True, chunk=32),
     "ho_coupled_1m": lambda: bench_coupled_1m(high_order=True, chunk=8),
+    # Periodic wrap on the HO tiled kernel (round 4): modular x strips +
+    # in-block lane wrap.
+    "ho_coupled_1m_periodic": lambda: bench_coupled_1m(
+        high_order=True, chunk=8, periodic=True
+    ),
     "multihost_16m": bench_multihost_16m,
 }
 

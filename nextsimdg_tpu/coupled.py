@@ -244,13 +244,11 @@ class CoupledModel:
         if spmd and (
             self.transport.tvb_m is not None
             or not (mesh.uniform or mesh.is_local_view)
-            or mesh.periodic_x
-            or mesh.periodic_y
         ):
-            # TVB wall ghosts / statically-non-uniform local mesh /
-            # periodic global wrap: staged spmd path. (Non-uniform
-            # LocalMeshView meshes DO ride the tiled kernel — their
-            # widened metric planes travel as consts.)
+            # TVB wall ghosts / statically-non-uniform local mesh: staged
+            # spmd path. (Non-uniform LocalMeshView meshes AND periodic
+            # domains DO ride the tiled kernel — metric planes travel as
+            # consts; halo_widen's ring wrap is the periodic condition.)
             return None
         if not mesh.uniform and self.transport.tvb_m is not None:
             return None  # graded TVB tolerance planes: staged path

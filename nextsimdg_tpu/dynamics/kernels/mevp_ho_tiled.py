@@ -129,6 +129,14 @@ def ho_subcycles_tiled(
     state_planes = _flatten_state(carry0)
     nx_out, ny_out = state_planes[0].shape
     dtype = state_planes[0].dtype
+    # Periodic axes (round 4, ported from the CG1 tiled kernel): x wraps
+    # via modular-offset state-strip DMAs + wrap-padded consts; y wraps
+    # IN-BLOCK (full-row tiles span the whole y extent, so jnp.roll in
+    # the lane dim IS the periodic condition). Both exclude the inert
+    # padding below — a wrap through zero pad rows/lanes would be wrong —
+    # so the gate in mevp_ho._kernel_choice requires aligned extents.
+    px_wrap = bool(solver.mesh.periodic_x)
+    py_wrap = bool(solver.mesh.periodic_y)
     # Round extents up to (64 sublanes, 128 lanes); the pad strips are
     # inert (zero active/strength/dt_m pin pad nodes at rest and
     # contribute zero stress — the closed-wall zeros, sideways). Interop
@@ -138,6 +146,10 @@ def ho_subcycles_tiled(
     nx = -(-nx_out // 64) * 64
     ny = -(-ny_out // 128) * 128
     row_pad, lane_pad = nx - nx_out, ny - ny_out
+    if px_wrap and row_pad:
+        raise ValueError("periodic_x requires nx to be a 64-multiple")
+    if py_wrap and lane_pad:
+        raise ValueError("periodic_y requires ny to be a 128-multiple")
     if row_pad or lane_pad:
         state_planes = [
             jnp.pad(p, ((0, row_pad), (0, lane_pad))) for p in state_planes
@@ -160,8 +172,35 @@ def ho_subcycles_tiled(
     n_c = len(const_names)
     n_s = len(state_planes)  # 17
 
-    pad2 = lambda arr: jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
+    # Consts: zero halo pad (closed walls) or wrap pad (periodic x — the
+    # rings then hold the true wrap neighbors and never go stale, since
+    # consts are never written).
+    def pad2(arr):
+        if px_wrap:
+            return jnp.concatenate(
+                [arr[-halo_x:], arr, arr[:halo_x]], axis=0
+            )
+        return jnp.pad(arr, ((halo_x, halo_x), (0, 0)))
+
     consts_stack = jnp.stack([pad2(consts[name]) for name in const_names])
+
+    # The per-block subcycle body: closed x shifts (the halo supplies the
+    # neighbor/wrap data); full-row tiles on a periodic-y mesh WRAP the
+    # lane dim in-block. Never trace with the caller's mesh flags — a
+    # periodic_x roll inside a block slice would wrap block-locally.
+    from ..mesh import RectMesh
+    from ..mevp_ho import MEVPSolverHO
+
+    body_solver = MEVPSolverHO(
+        RectMesh(
+            nx=block_x, ny=ny,
+            dx=solver.mesh.dx if solver.mesh.uniform else 1.0,
+            dy=solver.mesh.dy if solver.mesh.uniform else 1.0,
+            periodic_x=False, periodic_y=py_wrap,
+        ),
+        solver.params,
+        backend="xla",
+    )
 
     n_rounds = -(-n_subcycles // halo_x)
     total = n_rounds * n_ti
@@ -179,6 +218,13 @@ def ho_subcycles_tiled(
     # waited inline (the CG1 fallback discipline).
     reach = -(-halo_x // tile_x)
     cross_prefetch = (n_ti - 2) >= reach + 1
+    if px_wrap:
+        # Periodic x: tile 0's LO wrap strip reads the LAST tile's
+        # interior (and vice versa) — the cross-round dependency distance
+        # becomes n_ti - 1, so cross-round prefetch can never run ahead
+        # safely. Round-local prefetch (reading the fully-written
+        # previous-round slot) remains fine (the CG1 kernel's rule).
+        cross_prefetch = False
     defer_out = cross_prefetch
 
     def kernel(consts_ref, states_in, states_io, c_scr, s_scr, staging,
@@ -200,16 +246,47 @@ def ho_subcycles_tiled(
         def load_dmas(gg, s):
             t = jax.lax.rem(gg, jnp.int32(n_ti))
             window = pl.ds(t * tile_x, block_x)
-            return (
+            dmas = [
                 pltpu.make_async_copy(
                     consts_ref.at[:, window, :], c_scr.at[s], in_sems.at[s, 0]
                 ),
-                pltpu.make_async_copy(
-                    states_io.at[src_slot_of(gg), :, window, :],
-                    s_scr.at[s],
-                    in_sems.at[s, 1],
-                ),
+            ]
+            if not px_wrap:
+                dmas.append(
+                    pltpu.make_async_copy(
+                        states_io.at[src_slot_of(gg), :, window, :],
+                        s_scr.at[s],
+                        in_sems.at[s, 1],
+                    )
+                )
+                return dmas
+            # Periodic x: the padded state rings are stale (interiors are
+            # the only rows ever written), so the halo strips are fetched
+            # from the source slot's INTERIOR at modular row offsets —
+            # three segments per load (the CG1 kernel's pattern). All
+            # offsets stay 8-aligned (tile_x, halo_x, nx are).
+            ss = src_slot_of(gg)
+            lo = jax.lax.rem(
+                t * tile_x - jnp.int32(halo_x) + jnp.int32(nx), jnp.int32(nx)
             )
+            hi = jax.lax.rem(t * tile_x + jnp.int32(tile_x), jnp.int32(nx))
+            segs = (
+                (pl.ds(pl.multiple_of(halo_x + lo, 8), halo_x),
+                 pl.ds(0, halo_x)),
+                (pl.ds(halo_x + t * tile_x, tile_x),
+                 pl.ds(halo_x, tile_x)),
+                (pl.ds(pl.multiple_of(halo_x + hi, 8), halo_x),
+                 pl.ds(halo_x + tile_x, halo_x)),
+            )
+            for m, (src_rows, dst_rows) in enumerate(segs):
+                dmas.append(
+                    pltpu.make_async_copy(
+                        states_io.at[ss, :, src_rows, :],
+                        s_scr.at[s, :, dst_rows, :],
+                        in_sems.at[s, 1 + m],
+                    )
+                )
+            return dmas
 
         def out_dma(gg):
             t = jax.lax.rem(gg, jnp.int32(n_ti))
@@ -258,7 +335,7 @@ def ho_subcycles_tiled(
         )
 
         def body(_, c):
-            return solver.subcycle_body(c, kconsts, dt)
+            return body_solver.subcycle_body(c, kconsts, dt)
 
         final = jax.lax.fori_loop(0, n_sub, body, carry)
 
@@ -299,7 +376,8 @@ def ho_subcycles_tiled(
         pltpu.VMEM((2, n_c, block_x, ny), dtype),
         pltpu.VMEM((2, n_s, block_x, ny), dtype),
         pltpu.VMEM((n_s, tile_x, ny), dtype),
-        pltpu.SemaphoreType.DMA((2, 2)),
+        # 4 input sems per slot: consts + up to 3 periodic-x state segments.
+        pltpu.SemaphoreType.DMA((2, 4)),
         pltpu.SemaphoreType.DMA((1,)),
     ]
     out_shape = jax.ShapeDtypeStruct((2, n_s, pad_x, ny), dtype)

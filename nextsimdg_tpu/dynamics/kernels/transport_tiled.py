@@ -388,8 +388,10 @@ def transport_tiled_spmd_config(model, n_tracers: int = 3, min_local: int = 6553
     # non-uniform local mesh would replicate one block's static metric.
     if not (mesh.uniform or mesh.is_local_view):
         return None
-    if mesh.periodic_x or mesh.periodic_y:
-        return None
+    # Periodic global domains are fine (round 4): halo_widen's ring wrap
+    # IS the periodic condition — the exchange strips carry the wrap
+    # neighbors, the wall-face zeroing is skipped, and the single-chip
+    # kernel runs the widened block closed exactly as on closed domains.
     if not any(axis is not None for axis in model.spmd):
         return None
     if tr.tvb_m is not None:

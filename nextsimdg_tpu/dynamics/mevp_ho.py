@@ -421,12 +421,13 @@ class MEVPSolverHO:
         # 1.06x at 384^2, 1.44x at 512^2, 3.0x at 768^2, 3.2x at 1024^2 —
         # XLA's effective bandwidth degrades with working-set size).
         cfg = ho_tiled_config(self.mesh.nx, self.mesh.ny, n_consts=n_consts)
-        if (
-            not self.mesh.periodic_x
-            and not self.mesh.periodic_y
-            and cfg is not None
-            and _ho_tiled_reasonable(cfg)
-        ):
+        # Periodic axes ride the tiled kernel (round 4: modular wrap
+        # strips in x, in-block lane wrap in y) when the extent needs no
+        # inert padding — a wrap through pad rows/lanes would be wrong.
+        periodic_ok = (not self.mesh.periodic_x or self.mesh.nx % 64 == 0) and (
+            not self.mesh.periodic_y or self.mesh.ny % 128 == 0
+        )
+        if cfg is not None and periodic_ok and _ho_tiled_reasonable(cfg):
             return "tiled"
         return "xla"
 

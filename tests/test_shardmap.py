@@ -756,3 +756,23 @@ def test_ho_rdma_coupled_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11
         )
+
+
+def test_shardmap_tiled_transport_periodic_matches_staged():
+    """Blocked spmd tiled transport on a PERIODIC global domain (round 4):
+    halo_widen's ring wrap supplies the wrap neighbors; no wall zeroing."""
+    mesh, ref_model, state, pf, df = global_setup(n=16, periodic=True)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    model, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10,
+        transport_backend="tiled-interpret",
+        mevp_backend="blocked-interpret", mevp_block_halo=4,
+    )
+    assert model._tiled_transport_mode() == "interpret-spmd"
+    got = sharded_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
+        )
