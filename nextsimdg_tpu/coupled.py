@@ -237,18 +237,15 @@ class CoupledModel:
         Under shard_map the '-spmd' modes run the blocked exchange wrapper
         (``transport_substeps_tiled_spmd``): one ppermute pair per axis
         per (H-1)//rings substeps, the single-chip tiled kernel on the
-        widened block. TVB configs fall back to the staged spmd path
-        (see transport_tiled_spmd_config)."""
+        widened block."""
         mesh = self.mesh
         spmd = any(axis is not None for axis in self.spmd)
-        if spmd and (
-            self.transport.tvb_m is not None
-            or not (mesh.uniform or mesh.is_local_view)
-        ):
-            # TVB wall ghosts / statically-non-uniform local mesh: staged
-            # spmd path. (Non-uniform LocalMeshView meshes AND periodic
-            # domains DO ride the tiled kernel — metric planes travel as
-            # consts; halo_widen's ring wrap is the periodic condition.)
+        if spmd and not (mesh.uniform or mesh.is_local_view):
+            # Statically-non-uniform local mesh: staged spmd path.
+            # (Non-uniform LocalMeshView meshes, periodic domains AND
+            # uniform TVB configs DO ride the tiled kernel — metric
+            # planes and wall-delta masks travel as consts; halo_widen's
+            # ring wrap is the periodic condition.)
             return None
         if not mesh.uniform and self.transport.tvb_m is not None:
             return None  # graded TVB tolerance planes: staged path
@@ -379,10 +376,13 @@ class CoupledModel:
                     tile_kw = dict(tile_x=8 if nx % 8 == 0 else nx)
                 elif tiled_mode == "interpret-spmd":
                     # Small exchange halo + tiles dividing the widened
-                    # local block, so tiny test grids chain rounds.
-                    nx_w = self.mesh.nx + 2 * 4
+                    # local block, so tiny test grids chain rounds. TVB
+                    # doubles the rings per substep, so its k_cap needs
+                    # H=8 ((8-1)//4 = 1 substep per exchange at rk2).
+                    H = 4 if self.transport.tvb_m is None else 8
+                    nx_w = self.mesh.nx + 2 * H
                     tile_kw = dict(
-                        H=4,
+                        H=H,
                         tile_x=next(
                             t for t in (8, 4, 2, nx_w) if nx_w % t == 0
                         ),

@@ -113,6 +113,7 @@ def transport_substeps_tiled(
     tile_x: int = None,
     qv=None,  # precomputed QuadVelocity (HO path) instead of (u, v)
     metric=None,  # explicit metric planes (spmd wrapper) overriding the mesh's
+    wall_masks=None,  # TVB wall-delta masks (fwd_x, bwd_x, fwd_y, bwd_y)
 ):
     """Run k transport substeps via ghost-zone tiles; returns the tracers.
 
@@ -190,6 +191,14 @@ def transport_substeps_tiled(
     metric_names = tuple(sorted(metric)) if metric is not None else ()
     if metric is not None:
         const_planes = const_planes + [metric[name] for name in metric_names]
+    # TVB wall-delta masks (spmd wrapper): 4 planes marking the TRUE
+    # global wall rows/cols, which sit H rows inside the widened block
+    # where the kernel-local iota select cannot find them. Zero-padded
+    # rings mean "no zeroing" there (the ghost zone is discard space).
+    n_wall = 0
+    if wall_masks is not None:
+        const_planes = const_planes + list(wall_masks)
+        n_wall = 4
     n_const = len(const_planes)
     consts_stack = jnp.stack([pad2(a) for a in const_planes])
     states0 = jnp.stack([pad2(tracers[ki, ti]) for ki in range(K) for ti in range(T)])
@@ -286,10 +295,14 @@ def transport_substeps_tiled(
             )
         kmetric = None
         if metric_names:
-            base = n_const - len(metric_names)
+            base = n_const - n_wall - len(metric_names)
             kmetric = {
                 name: c_scr[base + i] for i, name in enumerate(metric_names)
             }
+        kwall = None
+        if n_wall:
+            wbase = n_const - n_wall
+            kwall = tuple(c_scr[wbase + i] for i in range(4))
         psi = s_scr[:].reshape(K, T, block_x, ny)
         dt_s = dt_ref[0]
 
@@ -320,7 +333,8 @@ def transport_substeps_tiled(
 
         def body(_, p):
             p = local_tr.step(
-                p, kqv, dt_s, limit=True, face_masks=kmasks, metric=kmetric
+                p, kqv, dt_s, limit=True, face_masks=kmasks, metric=kmetric,
+                wall_masks=kwall,
             )
             return refresh_ghosts(p)
 
@@ -394,15 +408,19 @@ def transport_tiled_spmd_config(model, n_tracers: int = 3, min_local: int = 6553
     # kernel runs the widened block closed exactly as on closed domains.
     if not any(axis is not None for axis in model.spmd):
         return None
-    if tr.tvb_m is not None:
+    if tr.tvb_m is not None and not mesh.uniform:
+        # Graded TVB would additionally need dx/dy tolerance planes inside
+        # the kernel (the single-chip exclusion); staged path.
         return None
     if mesh.n_elements < min_local:
         return None
-    rings = _rings_per_substep(tr)
+    rings = _rings_per_substep(tr)  # doubles under TVB (mean reads)
     n_dofs = tr.basis.n_dofs
     planes = 4 + 24 + 10 * n_dofs * n_tracers + 12
     if not mesh.uniform:
         planes += 5  # the widened metric const planes
+    if tr.tvb_m is not None:
+        planes += 4  # the widened wall-delta mask planes
     budget = _VMEM_BUDGET // (planes * 4)
     # H: sublane-aligned; larger H amortizes the exchange over more
     # substeps at ((n+2H)/n)^2 redundancy — with k rarely above ~8 the
@@ -521,6 +539,39 @@ def transport_substeps_tiled_spmd(
             name: widen(plane) for name, plane in local_metric.items()
         }
 
+    # TVB (round 4): the limiter runs INSIDE the kernel on the widened
+    # block, but the global walls sit H rows inside it where the kernel's
+    # local iota select cannot see them — so the wall-delta zeroing rides
+    # as 4 explicit mask planes, built here with the device's TRUE wall
+    # locations (iota + is_global_edge, the staged path's select) and
+    # widened like every other const (zero strips = no zeroing, correct:
+    # the ghost zone is discard space; periodic axes have no walls and
+    # their masks are all-zero).
+    tvb_kw = {}
+    if tr.tvb_m is not None:
+        zeros = jnp.zeros((nx, ny), dtype)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
+        one = jnp.ones((), dtype)
+        fwd_x = bwd_x = fwd_y = bwd_y = zeros
+        if not px:
+            fwd_x = jnp.where(
+                (ix == nx - 1) & is_global_edge(ax_x, "last"), one, zeros
+            )
+            bwd_x = jnp.where(
+                (ix == 0) & is_global_edge(ax_x, "first"), one, zeros
+            )
+        if not py:
+            fwd_y = jnp.where(
+                (iy == ny - 1) & is_global_edge(ax_y, "last"), one, zeros
+            )
+            bwd_y = jnp.where(
+                (iy == 0) & is_global_edge(ax_y, "first"), one, zeros
+            )
+        tvb_kw["wall_masks"] = tuple(
+            widen(m) for m in (fwd_x, bwd_x, fwd_y, bwd_y)
+        )
+
     # The single-chip kernel's "model" on the widened (+lane-padded) block.
     local_mesh = RectMesh(
         nx=nx + 2 * H, ny=ny + 2 * H + lane_pad,
@@ -531,7 +582,8 @@ def transport_substeps_tiled_spmd(
         mesh=local_mesh,
         spmd=(None, None),
         transport=DGTransport(
-            local_mesh, degree=tr.basis.degree, scheme=tr.scheme, tvb_m=None
+            local_mesh, degree=tr.basis.degree, scheme=tr.scheme,
+            tvb_m=tr.tvb_m,
         ),
     )
 
@@ -544,7 +596,7 @@ def transport_substeps_tiled_spmd(
         padded = transport_substeps_tiled(
             local_model, padded, dt_sub=dt_sub, k=n_sub,
             face_masks=(fx_w, fy_w), interpret=interpret, tile_x=tile_x,
-            **vel_kw, **metric_kw,
+            **vel_kw, **metric_kw, **tvb_kw,
         )
         return padded[:, :, H : H + nx, H : H + ny], done + n_sub
 

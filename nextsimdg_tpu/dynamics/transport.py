@@ -460,7 +460,7 @@ class DGTransport:
         return jnp.concatenate([mean[None], psi[1:] * theta[None]], axis=0)
 
     # -- TVB slope limiting (Cockburn & Shu) ----------------------------------
-    def limit_slopes(self, psi):
+    def limit_slopes(self, psi, wall_masks=None):
         """TVB minmod slope limiter on the linear moments (dG1/dG2).
 
         The Zhang-Shu positivity limiter guarantees psi >= 0 but not
@@ -479,6 +479,13 @@ class DGTransport:
         the standard hierarchical-limiter behavior). Cell means are never
         touched, so conservation is exact. Closed walls use zero-gradient
         ghost means (one-sided differences clamp to 0 there).
+
+        ``wall_masks``: optional (fwd_x, bwd_x, fwd_y, bwd_y) planes
+        marking (with 1.0) where the forward/backward mean differences
+        must be zeroed — REPLACING the iota/global-edge wall logic. The
+        spmd tiled-transport kernel passes these: inside its widened
+        block a global wall sits H rows from the block edge, where the
+        local iota select cannot find it.
         """
         if self.tvb_m is None or self.basis.n_dofs == 1:
             return psi
@@ -491,10 +498,14 @@ class DGTransport:
         mean = psi[0]
         x_axis, y_axis = mean.ndim - 2, mean.ndim - 1
 
-        def deltas(axis, periodic, axis_name):
+        def deltas(axis, periodic, axis_name, masks):
             d_fwd = shift_p(mean, axis, periodic, axis_name) - mean
             d_bwd = mean - shift_m(mean, axis, periodic, axis_name)
-            if not periodic:
+            if masks is not None:
+                m_fwd, m_bwd = masks
+                d_fwd = jnp.where(m_fwd == 1.0, 0.0, d_fwd)
+                d_bwd = jnp.where(m_bwd == 1.0, 0.0, d_bwd)
+            elif not periodic:
                 # Zero-gradient ghosts at the global walls (the zero-filled
                 # shifts would otherwise fabricate a -mean jump there).
                 n = mean.shape[axis]
@@ -527,8 +538,14 @@ class DGTransport:
         tol_x = self.tvb_m * dx * dx
         tol_y = self.tvb_m * dy * dy
 
-        dpx, dmx = deltas(x_axis, px, ax_x)
-        dpy, dmy = deltas(y_axis, py, ax_y)
+        dpx, dmx = deltas(
+            x_axis, px, ax_x,
+            None if wall_masks is None else wall_masks[:2],
+        )
+        dpy, dmy = deltas(
+            y_axis, py, ax_y,
+            None if wall_masks is None else wall_masks[2:],
+        )
         s1 = jnp.where(
             jnp.abs(psi[1]) <= tol_x, psi[1], minmod3(psi[1], dpx, dmx)
         )
@@ -546,14 +563,17 @@ class DGTransport:
         )
 
     # -- SSP-RK time stepping ------------------------------------------------
-    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False, face_masks=None, metric=None):
+    def step(self, psi, vel: QuadVelocity, dt, limit: bool = False, face_masks=None, metric=None, wall_masks=None):
         """One SSP-RK step; ``limit`` applies the positivity limiter after
         every RK stage (SSP keeps the limited property through the convex
         combinations). When ``tvb_m`` is configured, the TVB slope limiter
         runs before the positivity limiter at every stage. ``metric``:
-        explicit per-element metric planes (tiled kernels)."""
+        explicit per-element metric planes (tiled kernels); ``wall_masks``:
+        explicit TVB wall-delta masks (see ``limit_slopes``)."""
         if limit and self.tvb_m is not None:
-            lim = lambda p: self.limit_positivity(self.limit_slopes(p))
+            lim = lambda p: self.limit_positivity(
+                self.limit_slopes(p, wall_masks)
+            )
         elif limit:
             lim = self.limit_positivity
         else:

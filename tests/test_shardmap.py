@@ -497,9 +497,8 @@ def test_shardmap_winton_3layer_matches_single_device():
 
 
 def test_shardmap_tvb_staged_fallback_matches_single_device():
-    """A TVB slope-limiter config under shard_map must take the staged
-    spmd transport path (the tiled kernel excludes TVB) and match the
-    single-device result."""
+    """A TVB slope-limiter config under shard_map on the STAGED spmd
+    transport path (the auto default off-TPU) must match single-device."""
     mesh, _, _, pf, df = global_setup(n=16)
     ref_model = CoupledModel(mesh, degree=1, n_subcycles=10, tvb_m=50.0)
     assert ref_model.transport.tvb_m == 50.0
@@ -512,12 +511,40 @@ def test_shardmap_tvb_staged_fallback_matches_single_device():
     model, sharded_step = build_sharded_coupled_model(
         mesh, device_mesh, degree=1, n_subcycles=10, tvb_m=50.0
     )
-    # TVB must force the staged spmd path regardless of backend autos.
+    # backend='auto' off-TPU: the staged spmd path.
     assert model._tiled_transport_mode() is None
     got = sharded_step(state, pf, df, 600.0)
     for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11
+        )
+
+
+def test_shardmap_tiled_transport_tvb_matches_staged():
+    """TVB through the spmd TILED transport (round 4): the wall-delta
+    masks ride the kernel as consts — the global walls sit H rows inside
+    the widened block where the local iota select cannot see them — and
+    the result must equal the staged single-device TVB path."""
+    mesh, _, _, pf, df = global_setup(n=16)
+    ref_model = CoupledModel(mesh, degree=1, n_subcycles=10, tvb_m=50.0)
+    state = ref_model.initial_state(
+        hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=jnp.float64
+    )
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    # (2, 2): TVB's exchange halo H=8 (k_cap >= 1 at doubled rings) must
+    # fit the local block, so 8x8 locals are the 16^2 minimum.
+    device_mesh = make_spatial_mesh((2, 2))
+    model, sharded_step = build_sharded_coupled_model(
+        mesh, device_mesh, degree=1, n_subcycles=10, tvb_m=50.0,
+        transport_backend="tiled-interpret",
+        mevp_backend="blocked-interpret", mevp_block_halo=4,
+    )
+    assert model._tiled_transport_mode() == "interpret-spmd"
+    got = sharded_step(state, pf, df, 600.0)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
         )
 
 
