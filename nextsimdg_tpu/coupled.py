@@ -69,7 +69,7 @@ class CoupledModel:
         spmd=(None, None),
         ocean_mask=None,
         mevp_backend: str = "auto",
-        mevp_block_halo: int = 16,
+        mevp_block_halo="auto",
         transport_substeps: int = 1,
         auto_substeps: bool = True,
         tvb_m: float = None,

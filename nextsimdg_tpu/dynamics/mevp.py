@@ -140,6 +140,34 @@ def cell_to_node(cell, periodic_x: bool = False, periodic_y: bool = False, spmd=
     return 0.25 * (cell + cm_x + cm_y + cm_xy)
 
 
+def pick_block_halo(nx: int, ny: int, n_consts: int = 7, default: int = 16) -> int:
+    """Exchange-halo width for the blocked/RDMA backends ('auto').
+
+    When the widened (nx+2h, ny+2h) block fits the fused single-block
+    kernel, the default (16) is fine — that kernel has no alignment
+    rules. Otherwise pick the smallest h whose widened extents satisfy
+    the TILED kernel's Mosaic alignment ((ny+2h) % 128 == 0 for full-row
+    lanes, (nx+2h) % 8 for sublanes) AND admit an auto_config: the
+    blocked path then runs the tiled inner engine instead of falling
+    back to per-subcycle XLA streaming, and the larger h amortizes one
+    exchange over more subcycles (e.g. local 1024^2: h=64 -> 1152^2,
+    9 x 128 lanes, 1.27x redundancy, 64 subcycles per ppermute pair).
+    """
+    from .kernels.mevp_pallas import pallas_supported
+
+    if pallas_supported(nx + 2 * default, ny + 2 * default, n_consts=n_consts):
+        return default
+    from .kernels.mevp_tiled import auto_config
+
+    cap = min(96, nx // 2, ny // 2)
+    for h in range(default, cap + 1, 8):
+        if (ny + 2 * h) % 128 == 0 and (nx + 2 * h) % 8 == 0 and (
+            auto_config(nx + 2 * h, ny + 2 * h, n_consts=n_consts) is not None
+        ):
+            return h
+    return default
+
+
 class MEVPSolver:
     def __init__(
         self,
@@ -147,7 +175,7 @@ class MEVPSolver:
         params: MEVPParams = MEVPParams(),
         backend: str = "auto",
         spmd=(None, None),
-        block_halo: int = 16,
+        block_halo=16,
     ) -> None:
         """``backend``: 'auto' (fused Pallas kernel on TPU when the grid fits
         VMEM, else XLA), 'xla', 'pallas', or 'pallas-interpret' (testing).
@@ -165,6 +193,8 @@ class MEVPSolver:
         self.params = params
         self.backend = backend
         self.spmd = tuple(spmd)
+        if block_halo == "auto":
+            block_halo = pick_block_halo(mesh.nx, mesh.ny, self._n_consts())
         self.block_halo = int(block_halo)
 
     def _kernel_choice(self) -> str:

@@ -195,6 +195,11 @@ class MEVPSolverHO:
         self.params = params
         self.backend = backend
         self.spmd = tuple(spmd)
+        if block_halo == "auto":
+            # The HO tiled kernel pads its extents internally, so the
+            # blocked inner engine needs no alignment-aware halo (unlike
+            # CG1's pick_block_halo).
+            block_halo = 16
         self.block_halo = int(block_halo)
         self.tables = cg2_tables()
 
