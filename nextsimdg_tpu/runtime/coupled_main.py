@@ -34,7 +34,22 @@ section:
 
 plus ``model.nlayers`` (ice temperature layers: 1 for ThermoIce0, 3 for
 the Winton scheme selected via ``[Modules] Nextsim::IThermodynamics =
-Nextsim::ThermoWinton``).
+Nextsim::ThermoWinton``) and a ``[parallel]`` section for multi-chip
+runs:
+
+    [parallel]
+    mode = auto                     # auto | single | gspmd | shardmap
+    mesh_shape =                    # e.g. 4x2 (default: all devices,
+                                    # squarest factorization)
+    mevp_backend = auto             # under shardmap: auto|blocked|rdma|xla
+    mevp_block_halo = auto          # ghost width ('auto' = alignment-aware)
+    transport_backend = auto
+
+``auto`` runs single-device on one chip and GSPMD (auto-partitioned
+global step) on several; ``shardmap`` selects the explicit SPMD driver
+(per-device blocks, blocked/RDMA ghost-zone halo exchange, the spmd
+tiled transport — the controlled-communication production path; the
+grid must divide the device mesh).
 
 Run: ``python -m nextsimdg_tpu.runtime.coupled_main --config-file box.cfg``
 """
@@ -151,8 +166,8 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         # MEVPParams.a_weighted_stress) + its MIZ pinning threshold.
         a_weighted = bool(get("dynamics.a_weighted_stress", False))
         a_dyn_min = float(get("dynamics.a_dyn_min", 5e-2))
-        model = CoupledModel(
-            mesh, degree=degree,
+        model_kwargs = dict(
+            degree=degree,
             mevp_params=MEVPParams(
                 a_weighted_stress=a_weighted, a_dyn_min=a_dyn_min
             ),
@@ -160,7 +175,45 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             auto_substeps=auto_substeps, tvb_m=tvb_m,
             ocean_mask=ocean_mask,
         )
+        model = CoupledModel(mesh, **model_kwargs)
         dtype = jnp.float32
+
+        # Multi-chip mode ([parallel] section; see the module docstring).
+        import jax
+
+        par_mode = str(get("parallel.mode", "auto"))
+        n_dev = jax.device_count()
+        partition = None
+        sharded_step = None
+        if par_mode not in ("auto", "single", "gspmd", "shardmap"):
+            raise ValueError(f"unknown parallel.mode '{par_mode}'")
+        if par_mode == "auto":
+            par_mode = "gspmd" if n_dev > 1 else "single"
+        if par_mode in ("gspmd", "shardmap"):
+            from ..parallel import SpatialPartition, make_spatial_mesh
+
+            shape_raw = str(get("parallel.mesh_shape", ""))
+            shape = (
+                tuple(int(s) for s in shape_raw.lower().split("x"))
+                if shape_raw else None
+            )
+            device_mesh = make_spatial_mesh(shape)
+            partition = SpatialPartition(device_mesh)
+        if par_mode == "shardmap":
+            from ..parallel.shardmap import build_sharded_coupled_model
+
+            halo_raw = str(get("parallel.mevp_block_halo", "auto"))
+            _, sharded_step = build_sharded_coupled_model(
+                mesh, device_mesh,
+                mevp_backend=str(get("parallel.mevp_backend", "auto")),
+                mevp_block_halo=(
+                    "auto" if halo_raw == "auto" else int(halo_raw)
+                ),
+                transport_backend=str(
+                    get("parallel.transport_backend", "auto")
+                ),
+                **model_kwargs,
+            )
         if init_file:
             from ..io.coupled_restart import load_coupled_state
 
@@ -180,6 +233,11 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                     hice=state.hice * m, cice=state.cice * m,
                     hsnow=state.hsnow * m,
                 )
+
+        if partition is not None:
+            # Spread the global state over the device mesh; per-step
+            # forcing updates stay host arrays (jit moves them).
+            state = partition.shard(state)
 
         full = lambda v: jnp.full((nx, ny), v, dtype=dtype)
         phys_forcing = Forcing(
@@ -247,9 +305,16 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                         dyn_forcing = provider.dynamics_forcing(t_now, nx, ny)
                         phys_forcing = provider.thermo_forcing(t_now, nx, ny)
                 with main_timer.scope("step"):
-                    state = model.step(
-                        state, phys_forcing, dyn_forcing, dt, do_thermo=do_thermo
-                    )
+                    if sharded_step is not None:
+                        state = sharded_step(
+                            state, phys_forcing, dyn_forcing, dt,
+                            do_thermo=do_thermo,
+                        )
+                    else:
+                        state = model.step(
+                            state, phys_forcing, dyn_forcing, dt,
+                            do_thermo=do_thermo,
+                        )
                 if checkpoint_period and step % checkpoint_period == 0:
                     with main_timer.scope("checkpoint"):
                         save_coupled_state(

@@ -157,3 +157,36 @@ def test_coupled_cli_land_mask_from_npy(tmp_path, monkeypatch):
     state = load_coupled_state("coupled_restart.chk")
     assert np.all(np.asarray(state.hice[0])[:4, :] == 0.0)
     assert np.all(np.asarray(state.velocity.u)[:4, :] == 0.0)
+
+
+def test_coupled_cli_shardmap_matches_single(tmp_path, monkeypatch):
+    """[parallel] mode=shardmap drives the explicit SPMD path (8-device
+    CPU mesh, blocked mEVP) from the CLI; the final checkpoint must match
+    a mode=single run."""
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(tmp_path, extra="[parallel]\nmode = single\n")
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    shutil.move("coupled_restart.chk", "single.chk")
+
+    from nextsimdg_tpu.config import Configurator
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    Configurator.clear()
+    ModuleRegistry.get_loader().reset()
+    cfg = write_cfg(
+        tmp_path,
+        extra=(
+            "[parallel]\nmode = shardmap\nmesh_shape = 4x2\n"
+            "mevp_backend = blocked-interpret\nmevp_block_halo = 4\n"
+        ),
+    )
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+
+    a = load_coupled_state("single.chk")
+    b = load_coupled_state("coupled_restart.chk")
+    import jax
+
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-5, atol=1e-7
+        )
