@@ -302,11 +302,12 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16) -> dict:
     }
 
 
-def bench_multihost_16m() -> dict:
+def bench_multihost_16m(n: int = 4096, chunk: int = 4) -> dict:
     """BASELINE config 5 (structure): 16M elements sharded over all devices.
 
-    On a pod slice this runs multi-chip/multi-host (same code path); on one
-    chip it reports single-device throughput at 4096x4096.
+    On a pod slice this runs multi-chip/multi-host (the explicit
+    shard_map blocked path); on one chip it reports single-device
+    throughput at 4096x4096. ``n``/``chunk`` shrink for smoke tests.
     """
     import jax
     import jax.numpy as jnp
@@ -317,7 +318,6 @@ def bench_multihost_16m() -> dict:
     from nextsimdg_tpu.parallel import SpatialPartition, make_spatial_mesh
     from nextsimdg_tpu.state import Forcing
 
-    n = 4096
     dtype = jnp.float32
     mesh = RectMesh(nx=n, ny=n, dx=2e3, dy=2e3)
     model = CoupledModel(mesh, degree=1, n_subcycles=100)
@@ -330,18 +330,38 @@ def bench_multihost_16m() -> dict:
 
     n_dev = jax.device_count()
     if n_dev > 1:
-        part = SpatialPartition(make_spatial_mesh())
+        # The designed multi-chip path: explicit shard_map with the
+        # blocked ghost-zone mEVP (alignment-aware auto halo -> tiled
+        # inner kernels) + spmd tiled transport, NOT GSPMD inference.
+        from nextsimdg_tpu.parallel.shardmap import build_sharded_coupled_model
+
+        device_mesh = make_spatial_mesh()
+        part = SpatialPartition(device_mesh)
+        _, sharded_step = build_sharded_coupled_model(
+            mesh, device_mesh, degree=1, n_subcycles=100,
+            mevp_backend="blocked", mevp_block_halo="auto",
+        )
         state = part.shard(state)
         pf = part.shard(pf)
         df = part.shard(df)
 
-    chunk = 4
-    run = lambda s: model.run(s, pf, df, 600.0, chunk)
+        @jax.jit
+        def run(s):
+            out, _ = jax.lax.scan(
+                lambda c, _: (sharded_step(c, pf, df, 600.0), None),
+                s, None, length=chunk,
+            )
+            return out
+    else:
+        run = lambda s: model.run(s, pf, df, 600.0, chunk)
     best = _timed_chunk(run, state, chunk)
     # Honest labeling: on one chip this is the single-chip 16M figure,
     # not a multi-host scaling number (the sharded code path is the same,
     # but no cross-device traffic exists to measure).
-    scope = "single-chip" if n_dev == 1 else f"{n_dev}-device"
+    scope = (
+        "single-chip" if n_dev == 1
+        else f"{n_dev}-device shard_map blocked"
+    )
     return {
         "metric": f"full model element updates/s ({n}x{n} ~16M elements, {scope}, f32)",
         "value": float(f"{n * n * chunk / best:.4g}"),

@@ -155,6 +155,9 @@ def pick_block_halo(nx: int, ny: int, n_consts: int = 7, default: int = 16) -> i
     """
     from .kernels.mevp_pallas import pallas_supported
 
+    # The exchange strips are h-wide slices of the local block, so h can
+    # never exceed the block extents (tiny test blocks).
+    default = max(1, min(default, nx, ny))
     if pallas_supported(nx + 2 * default, ny + 2 * default, n_consts=n_consts):
         return default
     from .kernels.mevp_tiled import auto_config
