@@ -232,7 +232,7 @@ def bench_coupled_1m(
     }
 
 
-def bench_coupled_1m_spherical_spmd(n=1024, chunk=16) -> dict:
+def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
     """BASELINE config 5 as it would really be run: spherical lon-lat +
     synthetic coastline, sharded over the device mesh via EXPLICIT
     shard_map — LocalMeshView metric planes through the blocked
@@ -256,19 +256,37 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16) -> dict:
     from nextsimdg_tpu.parallel.shardmap import build_sharded_coupled_model
     from nextsimdg_tpu.state import Forcing
 
+    from nextsimdg_tpu.modules import ModuleRegistry
+
     dtype = jnp.float32
     mesh = SphericalMesh(n, n, lon0=-40.0, lon1=40.0, lat0=55.0, lat1=85.0)
     ocean = _synthetic_coastline(n)
     device_mesh = make_spatial_mesh()
-    model, sharded_step = build_sharded_coupled_model(
-        mesh, device_mesh, degree=1, n_subcycles=100, ocean_mask=ocean,
-        mevp_backend="blocked", mevp_block_halo=64,
-    )
+    loader = ModuleRegistry.get_loader()
+    if high_order:
+        # The REAL config-5 discretization: CG2/dG1 over the device mesh
+        # (blocked exchange, HO tiled inner kernel on the widened block).
+        loader.set_implementation("Nextsim::IDynamics", "Nextsim::MEVPHighOrder")
+    try:
+        model, sharded_step = build_sharded_coupled_model(
+            mesh, device_mesh, degree=1, n_subcycles=100, ocean_mask=ocean,
+            mevp_backend="blocked",
+            mevp_block_halo=16 if high_order else 64,
+        )
+    finally:
+        if high_order:
+            loader.reset()
     # Global-shaped state/forcing; jit moves them onto the mesh.
     part = SpatialPartition(device_mesh)
     from nextsimdg_tpu.coupled import CoupledModel
 
-    global_model = CoupledModel(mesh, degree=1, n_subcycles=100, ocean_mask=ocean)
+    if high_order:
+        loader.set_implementation("Nextsim::IDynamics", "Nextsim::MEVPHighOrder")
+    try:
+        global_model = CoupledModel(mesh, degree=1, n_subcycles=100, ocean_mask=ocean)
+    finally:
+        if high_order:
+            loader.reset()
     state = part.shard(
         global_model.initial_state(hice0=1.2, cice0=0.95, hsnow0=0.1, dtype=dtype)
     )
@@ -292,10 +310,11 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16) -> dict:
     best = _timed_chunk(run, state, chunk)
     n_dev = jax.device_count()
     scope = "1-chip self-ring" if n_dev == 1 else f"{n_dev}-device"
+    order = "CG2/dG1 " if high_order else ""
     return {
         "metric": (
             f"coupled shard_map element updates/s ({n}x{n} spherical + "
-            f"coastline, blocked mEVP + tiled transport, {scope}, f32)"
+            f"coastline, {order}blocked mEVP + tiled transport, {scope}, f32)"
         ),
         "value": float(f"{n * n * chunk / best:.4g}"),
         "unit": "elements/s",
@@ -379,6 +398,9 @@ CONFIGS = {
         land_mask=True, spherical=True
     ),
     "coupled_1m_spherical_spmd": bench_coupled_1m_spherical_spmd,
+    "ho_coupled_1m_spherical_spmd": lambda: bench_coupled_1m_spherical_spmd(
+        chunk=8, high_order=True
+    ),
     "coupled_1m_aweighted": lambda: bench_coupled_1m(a_weighted=True),
     "ho_coupled_256": lambda: bench_coupled_1m(n=256, high_order=True, chunk=64),
     # 512^2 sits in the regime the HO tiled kernel newly covers (round 3:

@@ -348,3 +348,54 @@ def test_shardmap_coupled_ho_spherical_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-11
         )
+
+
+def test_mevp_blocked_graded_aweighted_matches_single_device():
+    """Flag intersection: A-weighted stresses (extra a_node const plane)
+    x graded metric planes x blocked exchange under shard_map."""
+    from nextsimdg_tpu.dynamics.mevp import MEVPParams, MEVPSolver, VelocityState
+
+    n = 32
+    mesh = graded_mesh(n)
+    params = MEVPParams(a_weighted_stress=True)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h = full(2.0)
+    a = jnp.asarray(np.linspace(0.3, 1.0, n)[:, None] * np.ones((1, n)))
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolver(mesh, params, backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    local = LocalMeshView(mesh, 4, 2)
+    spec = P("X", "Y")
+    solver = MEVPSolver(
+        local, params, backend="blocked-interpret", spmd=("X", "Y"),
+        block_halo=4,
+    )
+    assert solver._n_consts() == 13  # 7 + 5 metric + 1 a_node
+
+    def step_local(s, hh, aa, d):
+        mask = solver.boundary_mask(dtype)
+        return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+    got = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(lambda _: spec, state),
+                spec, spec, jax.tree.map(lambda _: spec, df),
+            ),
+            out_specs=jax.tree.map(lambda _: spec, state),
+            check_vma=False,
+        )
+    )(state, h, a, df)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11
+        )
