@@ -148,3 +148,16 @@ def test_mevp_subcycling_converges_toward_vp_fixed_point():
     p_strength = 27500.0 * 2.0
     assert float(jnp.min(state.s11)) < -0.5 * p_strength
     assert float(jnp.min(state.s11)) > -2.0 * p_strength
+
+
+def test_pick_block_halo_alignment():
+    """Alignment-aware auto halo (round 4): fused-regime sizes keep the
+    default; tiled-regime sizes get a 128-lane-aligning width; tiny
+    blocks are capped by their extents."""
+    from nextsimdg_tpu.dynamics.mevp import pick_block_halo
+
+    assert pick_block_halo(256, 256) == 16   # fused single-block regime
+    assert pick_block_halo(1024, 1024) == 64  # (1024+128) % 128 == 0
+    assert pick_block_halo(2048, 2048) == 64
+    assert (1024 + 2 * 64) % 128 == 0
+    assert pick_block_halo(16, 8) <= 8       # capped by the block
