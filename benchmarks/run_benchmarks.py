@@ -242,10 +242,10 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
     On one chip the ring collectives degenerate to self-copies, so the
     figure is a single-chip validation of the multi-chip kernels (honest
     labeling below); a pod slice runs the same code path with real ICI
-    traffic. ``mevp_block_halo=64`` keeps the widened local block
-    (ny + 2H) 128-lane-aligned so the CG1 tiled kernel accepts it, and
-    amortizes one exchange over 64 subcycles (1.27x redundant compute at
-    1024^2 per device).
+    traffic. ``mevp_block_halo='auto'`` resolves to an alignment-aware
+    width (64 at 1024^2/device: the widened block stays 128-lane-aligned
+    so the tiled inner kernel applies — measured 1.40x over the
+    misaligned h=16/XLA-inner combination even on one chip).
     """
     import jax
     import jax.numpy as jnp
@@ -270,8 +270,7 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
     try:
         model, sharded_step = build_sharded_coupled_model(
             mesh, device_mesh, degree=1, n_subcycles=100, ocean_mask=ocean,
-            mevp_backend="blocked",
-            mevp_block_halo=16 if high_order else 64,
+            mevp_backend="blocked", mevp_block_halo="auto",
         )
     finally:
         if high_order:

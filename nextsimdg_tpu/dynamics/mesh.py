@@ -402,6 +402,16 @@ class LocalMeshView(RectMesh):
         from jax import lax
 
         ax_x, ax_y = spmd
+        if ax_x is None and self.px > 1:
+            raise ValueError(
+                "x axis is device-split (px > 1) but no shard_map axis "
+                "name was given — the slice would silently be block 0's"
+            )
+        if ax_y is None and self.py > 1:
+            raise ValueError(
+                "y axis is device-split (py > 1) but no shard_map axis "
+                "name was given — the slice would silently be block 0's"
+            )
         ix = lax.axis_index(ax_x) * self.nx if ax_x is not None else 0
         iy = lax.axis_index(ax_y) * self.ny if ax_y is not None else 0
         out = {}

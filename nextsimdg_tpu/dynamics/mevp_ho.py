@@ -196,10 +196,16 @@ class MEVPSolverHO:
         self.backend = backend
         self.spmd = tuple(spmd)
         if block_halo == "auto":
-            # The HO tiled kernel pads its extents internally, so the
-            # blocked inner engine needs no alignment-aware halo (unlike
-            # CG1's pick_block_halo).
-            block_halo = 16
+            # The HO tiled kernel pads its extents internally, so no
+            # alignment constraint (unlike CG1's pick_block_halo) — but
+            # LARGER halos win regardless: fewer exchange rounds AND
+            # fewer pallas_call re-entries + widen/slice passes around
+            # the inner kernel. Measured (spherical spmd, 1024^2/device,
+            # v5e self-ring): h=16 2.19e7, 32 2.37e7, 48 2.34e7,
+            # 64 2.42e7 el/s. Scale with the block so small devices
+            # keep redundancy ((n+2h)/n)^2 bounded (~1.13x at h=n/16).
+            block_halo = max(16, min(64, min(mesh.nx, mesh.ny) // 16))
+            block_halo = min(block_halo, mesh.nx, mesh.ny)
         self.block_halo = int(block_halo)
         self.tables = cg2_tables()
 
