@@ -400,6 +400,12 @@ CONFIGS = {
     "ho_coupled_1m_spherical_spmd": lambda: bench_coupled_1m_spherical_spmd(
         chunk=8, high_order=True
     ),
+    # BASELINE config 5 at FULL size: 16M spherical + coastline through
+    # the explicit spmd path (auto halo 64, tiled inner kernels, spmd
+    # tiled transport). 8.32e7 el/s on a 1-chip self-ring.
+    "spherical_16m_spmd": lambda: bench_coupled_1m_spherical_spmd(
+        n=4096, chunk=4
+    ),
     "coupled_1m_aweighted": lambda: bench_coupled_1m(a_weighted=True),
     "ho_coupled_256": lambda: bench_coupled_1m(n=256, high_order=True, chunk=64),
     # 512^2 sits in the regime the HO tiled kernel newly covers (round 3:
