@@ -406,6 +406,12 @@ CONFIGS = {
     "spherical_16m_spmd": lambda: bench_coupled_1m_spherical_spmd(
         n=4096, chunk=4
     ),
+    # The same full-size spherical domain through the single-chip path
+    # (un-compilable before round 4's on-device metric products: the
+    # numpy-literal planes overflowed the remote-compile request).
+    "spherical_16m": lambda: bench_coupled_1m(
+        n=4096, land_mask=True, spherical=True, chunk=4
+    ),
     "coupled_1m_aweighted": lambda: bench_coupled_1m(a_weighted=True),
     "ho_coupled_256": lambda: bench_coupled_1m(n=256, high_order=True, chunk=64),
     # 512^2 sits in the regime the HO tiled kernel newly covers (round 3:

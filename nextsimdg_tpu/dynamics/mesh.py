@@ -185,6 +185,31 @@ class RectMesh:
         return x, y
 
 
+def device_metric_planes(mesh: "RectMesh", dtype) -> dict:
+    """The mesh's metric planes as ON-DEVICE outer products of the 1-D
+    separable factors (:meth:`RectMesh.metric_factors`).
+
+    Materializing ``np.broadcast_to(mesh.dx, (nx, ny))`` embeds an
+    (nx, ny) LITERAL per plane in the compiled module — a 16M-element
+    spherical mesh carries ~500 MB of broadcast constants, which the
+    axon remote-compile service rejects outright (HTTP 413) and which
+    wastes HBM on every backend. Two (nx,)/(ny,) constants plus one
+    runtime multiply replace each literal; at f64 the products are
+    bit-identical to the numpy-broadcast planes (same IEEE multiplies),
+    so the exactness tests are unaffected.
+
+    Returns dict(dx, dy, area, face_x, face_y) of (nx, ny) arrays.
+    """
+    import jax.numpy as jnp
+
+    out = {}
+    for name, (col, row) in mesh.metric_factors().items():
+        out[name] = (
+            jnp.asarray(col, dtype)[:, None] * jnp.asarray(row, dtype)[None, :]
+        )
+    return out
+
+
 #: mean Earth radius [m], as used by ERA5/CF tooling.
 EARTH_RADIUS = 6.371e6
 

@@ -297,22 +297,20 @@ class MEVPSolver:
                 "half_dx": 0.5 * m["dx"],
                 "half_dy": 0.5 * m["dy"],
             }
-        import numpy as np
+        # On-device outer products of the 1-D metric factors — NOT
+        # (nx, ny) numpy literals, which bloat the compiled module by a
+        # full plane per metric (a 16M spherical mesh overflows the
+        # remote-compile request limit). Bit-identical at f64 to the
+        # numpy-broadcast planes.
+        from .mesh import device_metric_planes
 
-        shape = (mesh.nx, mesh.ny)
-        dx64 = np.broadcast_to(np.asarray(mesh.dx), shape)
-        dy64 = np.broadcast_to(np.asarray(mesh.dy), shape)
-        # Derived planes in f64 numpy, THEN cast (the hardware-validated
-        # single-chip precision; at f64 the local-view planes match these
-        # bit-for-bit).
+        m = device_metric_planes(mesh, dtype)
         return {
-            "area": jnp.asarray(
-                np.broadcast_to(np.asarray(mesh.cell_area), shape), dtype
-            ),
-            "inv_dx": jnp.asarray(1.0 / dx64, dtype),
-            "inv_dy": jnp.asarray(1.0 / dy64, dtype),
-            "half_dx": jnp.asarray(0.5 * dx64, dtype),
-            "half_dy": jnp.asarray(0.5 * dy64, dtype),
+            "area": m["area"],
+            "inv_dx": 1.0 / m["dx"],
+            "inv_dy": 1.0 / m["dy"],
+            "half_dx": 0.5 * m["dx"],
+            "half_dy": 0.5 * m["dy"],
         }
 
     # -- per-element strain rates from CG1 velocity --------------------------
@@ -855,16 +853,9 @@ class MEVPSolver:
 
         nx, ny = self.mesh.nx, self.mesh.ny
         ax_x, ax_y = self.spmd
-        if ax_x is None and ax_y is None:
-            import numpy as np
-
-            mask = np.ones((nx, ny))
-            if not self.mesh.periodic_x:
-                mask[0, :] = 0.0
-            if not self.mesh.periodic_y:
-                mask[:, 0] = 0.0
-            return jnp.asarray(mask, dtype=dtype)
-
+        # Traced iota construction in ALL modes (outside shard_map
+        # is_global_edge is a static True): a numpy mask would embed an
+        # (nx, ny) literal in the module — 67 MB at 16M elements.
         mask = jnp.ones((nx, ny), dtype=dtype)
         if not self.mesh.periodic_x:
             row0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0) == 0

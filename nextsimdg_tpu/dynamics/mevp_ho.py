@@ -338,19 +338,9 @@ class MEVPSolverHO:
         ``MEVPSolver.boundary_mask``)."""
         nx, ny = self.mesh.nx, self.mesh.ny
         ax_x, ax_y = self.spmd
-        if ax_x is None and ax_y is None:
-            masks = {}
-            for name in PLANES:
-                mask = np.ones((nx, ny))
-                on_x0 = name in ("v", "l")  # nodes with x = 0
-                on_y0 = name in ("v", "b")  # nodes with y = 0
-                if not self.mesh.periodic_x and on_x0:
-                    mask[0, :] = 0.0
-                if not self.mesh.periodic_y and on_y0:
-                    mask[:, 0] = 0.0
-                masks[name] = jnp.asarray(mask, dtype=dtype)
-            return HOField(**masks)
-
+        # Traced iota construction in ALL modes (outside shard_map
+        # is_global_edge is a static True): numpy masks would embed four
+        # (nx, ny) literals in the module — 268 MB at 16M elements.
         from .stencil import is_global_edge
 
         row0 = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0) == 0
@@ -479,13 +469,17 @@ class MEVPSolverHO:
                 consts["inv_dy"] = 1.0 / m["dy"]
                 area = m["area"]
             else:
-                shape = (self.mesh.nx, self.mesh.ny)
-                dx64 = np.broadcast_to(np.asarray(self.mesh.dx), shape)
-                dy64 = np.broadcast_to(np.asarray(self.mesh.dy), shape)
-                consts["dx"] = jnp.asarray(dx64, dtype)
-                consts["dy"] = jnp.asarray(dy64, dtype)
-                consts["inv_dx"] = jnp.asarray(1.0 / dx64, dtype)
-                consts["inv_dy"] = jnp.asarray(1.0 / dy64, dtype)
+                # On-device outer products of the 1-D metric factors (no
+                # (nx, ny) literals in the module; see mesh.
+                # device_metric_planes). Bit-identical at f64.
+                from .mesh import device_metric_planes
+
+                m = device_metric_planes(self.mesh, dtype)
+                consts["dx"] = m["dx"]
+                consts["dy"] = m["dy"]
+                consts["inv_dx"] = 1.0 / m["dx"]
+                consts["inv_dy"] = 1.0 / m["dy"]
+                area = m["area"]
         h_node = self.node_thickness(h, area=area)
         weights = self.node_weights(dtype=dtype, area=area)
         a_node = self.node_thickness(a, area=area) if p.a_weighted_stress else None

@@ -242,7 +242,6 @@ class DGTransport:
         self._limit_table = np.concatenate(
             [b.psi_vol, b.psi_x0, b.psi_x1, b.psi_y0, b.psi_y1], axis=1
         )
-        self._metric_cache = {}
 
     def metric_planes(self, dtype):
         """Full per-element metric planes for non-uniform meshes.
@@ -269,19 +268,20 @@ class DGTransport:
                 "face_y": m["face_y"],
                 "inv_area": 1.0 / m["area"],
             }
-        key = jnp.dtype(dtype).name
-        if key not in self._metric_cache:
-            mesh = self.mesh
-            shape = (mesh.nx, mesh.ny)
-            bc = lambda a: jnp.asarray(np.broadcast_to(a, shape), dtype)
-            self._metric_cache[key] = {
-                "inv_dx": bc(1.0 / np.asarray(mesh.dx)),
-                "inv_dy": bc(1.0 / np.asarray(mesh.dy)),
-                "face_x": bc(np.asarray(mesh.face_len_x)),
-                "face_y": bc(np.asarray(mesh.face_len_y)),
-                "inv_area": bc(1.0 / np.asarray(mesh.cell_area)),
-            }
-        return self._metric_cache[key]
+        # On-device outer products of the 1-D metric factors — NOT
+        # (nx, ny) numpy literals, which bloat the compiled module by
+        # ~n_planes x nx x ny x 4 bytes (a 16M spherical mesh overflows
+        # the remote-compile request limit). Bit-identical at f64.
+        from .mesh import device_metric_planes
+
+        m = device_metric_planes(self.mesh, dtype)
+        return {
+            "inv_dx": 1.0 / m["dx"],
+            "inv_dy": 1.0 / m["dy"],
+            "face_x": m["face_x"],
+            "face_y": m["face_y"],
+            "inv_area": 1.0 / m["area"],
+        }
 
     # -- semi-discrete RHS ---------------------------------------------------
     def rhs(self, psi, vel: QuadVelocity, face_masks=None, metric=None):
