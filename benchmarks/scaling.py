@@ -16,7 +16,17 @@ budget (messages + bytes per coupled step) — the quantity the strategies
 trade against redundant compute, and the basis of the >=85% weak-scaling
 design target when real multi-chip hardware is available.
 
+A fifth leg runs across REAL processes: ``--processes N`` spawns N
+separate Python workers wired into one runtime by
+``jax.distributed.initialize`` (coordinator on localhost, CPU backend),
+with the device mesh spanning every process — the actual multi-host
+launch shape of a TPU pod, minus the hardware. It validates result
+parity against a single-device run AND reports cross-process step
+timings (meaningful for the launch path, not for absolute throughput:
+localhost gRPC is not DCN).
+
 Usage: ``python benchmarks/scaling.py [local_n_per_device] [path ...]``
+or ``python benchmarks/scaling.py --processes N [--devices-per-process K]``
 """
 
 from __future__ import annotations
@@ -155,8 +165,40 @@ def run_once(devices, local_n: int, chunk: int = 32, path: str = "gspmd") -> flo
     return nx * ny * chunk / best, selected
 
 
+def run_multiprocess(num_processes: int, devices_per_process: int,
+                     n: int) -> None:
+    """Cross-process leg: parity + timing over a process-spanning mesh."""
+    from nextsimdg_tpu.parallel.multiprocess import launch
+
+    for count in [1, num_processes] if num_processes > 1 else [1]:
+        results = launch(
+            count, devices_per_process=devices_per_process,
+            paths=("gspmd", "blocked"), n=n, steps=1, n_subcycles=20,
+            bench_reps=3,
+        )
+        r0 = results[0]
+        for path, entry in r0["paths"].items():
+            print(json.dumps({
+                "processes": count,
+                "global_devices": r0["global_devices"],
+                "path": path,
+                "parity_error_in_tolerance_units":
+                    entry["error_in_tolerance_units"],
+                "elements_per_s": float(f"{entry['elements_per_s']:.4g}"),
+                "global_grid": f"{n}x{n}",
+            }), flush=True)
+
+
 def main(argv) -> None:
     args = argv[1:]
+    if "--processes" in args:
+        i = args.index("--processes")
+        nproc = int(args[i + 1])
+        dpp = 2
+        if "--devices-per-process" in args:
+            dpp = int(args[args.index("--devices-per-process") + 1])
+        run_multiprocess(nproc, dpp, n=32)
+        return
     local_n = int(args[0]) if args and args[0].isdigit() else 128
     paths = [a for a in args if not a.isdigit()] or ["gspmd"]
     devices = jax.devices()
