@@ -71,8 +71,15 @@ def _census(fn, args, n_elements):
                 counts["cheap"] += out_sz
             elif name in COSTLY:
                 counts["costly"] += out_sz
+                counts[f"costly:{name}"] += out_sz
             elif name in SHIFT:
                 counts["shift"] += out_sz
+                # Which plane axis the neighbor move crosses: the last
+                # dim is the lane axis, second-to-last the sublane axis.
+                ndim = len(eqn.outvars[0].aval.shape)
+                axis = eqn.params.get("dimension", ndim - 1)
+                which = "axis1" if axis == ndim - 1 else "axis0"
+                counts[f"shift:{which}"] += out_sz
             elif name not in IGNORE:
                 counts[f"other:{name}"] += out_sz
 
@@ -224,6 +231,146 @@ def measure_vpu_peak():
     return max(pallas_rate, xla_rate)
 
 
+def measure_op_weights():
+    """MEASURE the FMA-equivalent cost of shifts, divides and sqrts.
+
+    Rounds 2-4 costed the census mix with assumed weights (shift ~7 cheap
+    ops from the round-2 shift-fraction measurement, div/sqrt ~8-10 from
+    architecture lore) — ~60% of the claimed CG1 op budget rode on those
+    two guesses (round-4 verdict weak #1). This pins them the same way the
+    VPU ceiling is pinned: identical scan-of-unrolled-chain structure, one
+    extra primitive per link, cost = (chain time - baseline links) in
+    single-VPU-op units.
+
+    Chains (512^2 f32 plane, XLA fusion — the regime the fused kernels
+    live in; every link depends on the previous so nothing folds):
+
+    * baseline     ``x = a*x + b``                   (2 ops/link)
+    * shift axis0  ``x = a*shift_m(x, 0) + b``       (2 ops + sublane shift)
+    * shift axis1  ``x = a*shift_m(x, 1) + b``       (2 ops + lane shift)
+    * divide       ``x = b / (x + a)``               (1 op  + div)
+    * sqrt         ``x = sqrt(x + a)``               (1 op  + sqrt)
+
+    The shift links use the solvers' own ``stencil.shift_m`` (closed
+    boundary: slice+concat-zeros), so the measured weight includes the
+    edge-fill select the kernels actually pay.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.dynamics.stencil import shift_m
+
+    # Each timed call must dwarf the ~25 ms axon dispatch latency: the
+    # baseline chain is ~2.5e9 links x 2 ops -> ~300 ms at the 4.4e12
+    # op/s ceiling (the first weight run used 8k iters = 39 ms and
+    # measured the tunnel, not the chip: 1.74e12 "ceiling").
+    n, unroll, iters = 512, 16, 150_000
+    a = jnp.full((n, n), 0.9999, jnp.float32)
+    b = jnp.full((n, n), 1e-6, jnp.float32)
+
+    def chain_seconds(link):
+        @jax.jit
+        def run(a, b):
+            def body(x, _):
+                for _ in range(unroll):
+                    x = link(x, a, b)
+                return x, None
+
+            out, _ = jax.lax.scan(body, b, None, length=iters)
+            return out
+
+        out = run(a, b)
+        float(out[0, 0])
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(a, b)
+            float(out[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best / (unroll * iters * n * n)  # seconds per link-element
+
+    t_fma = chain_seconds(lambda x, a, b: a * x + b)
+    t_op = t_fma / 2.0  # one census op (the 4.46e12 op/s ceiling, locally)
+    t_shift0 = chain_seconds(
+        lambda x, a, b: a * shift_m(x, 0, periodic=False) + b)
+    t_shift1 = chain_seconds(
+        lambda x, a, b: a * shift_m(x, 1, periodic=False) + b)
+    t_div = chain_seconds(lambda x, a, b: b / (x + a))
+    t_sqrt = chain_seconds(lambda x, a, b: jnp.sqrt(x + a))
+    g3 = lambda v: float(f"{v:.3g}")
+    return {
+        "fma_chain_ops_per_s": float(f"{1.0 / t_op:.4g}"),
+        # (chain - baseline links) / single-op time, in census-op units:
+        "shift_axis0_ops": g3((t_shift0 - t_fma) / t_op),
+        "shift_axis1_ops": g3((t_shift1 - t_fma) / t_op),
+        "div_ops": g3((t_div - t_op) / t_op),
+        "sqrt_ops": g3((t_sqrt - t_op) / t_op),
+    }
+
+
+def measure_shift_packing():
+    """Is shift cost per-ELEMENT or per-PRIMITIVE? (``--pack-ab``)
+
+    If a single shift of a stacked (2, n, n) buffer costs the same as two
+    shifts of (n, n) planes, the cost is per-element — and the fused CG1
+    kernel's 13 shift planes cannot be cheapened by merging primitives
+    (packing u+v, s11+s22 into shared shifted buffers), only by REMOVING
+    planes, which the discretization does not allow (docs/performance.md
+    round-5 shift-irreducibility note).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.dynamics.stencil import shift_m
+
+    n, unroll, iters = 512, 16, 75_000
+
+    def chain_seconds(link, x0):
+        @jax.jit
+        def run(x0):
+            def body(x, _):
+                for _ in range(unroll):
+                    x = link(x)
+                return x, None
+
+            out, _ = jax.lax.scan(body, x0, None, length=iters)
+            return out
+
+        sync = lambda out: float(jnp.ravel(jax.tree.leaves(out)[0])[0])
+        out = run(x0)
+        sync(out)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(x0)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / (unroll * iters)
+
+    a = jnp.full((n, n), 0.9999, jnp.float32)
+    a2 = jnp.full((2, n, n), 0.9999, jnp.float32)
+
+    # Two separate same-direction plane shifts per link (the packable
+    # pattern: u and v, or s11 and s12, shifted the same way) vs ONE
+    # shift of the (2, n, n) stack carrying both planes.
+    def two_planes(x):
+        u, v = x
+        return (a * shift_m(u, 0, periodic=False) + 1e-6,
+                a * shift_m(v, 0, periodic=False) + 1e-6)
+
+    def packed(x):
+        return a2 * shift_m(x, 1, periodic=False) + 1e-6
+
+    t_two = chain_seconds(
+        two_planes, (jnp.ones((n, n), jnp.float32),) * 2)
+    t_pack = chain_seconds(packed, jnp.ones((2, n, n), jnp.float32))
+    return {
+        "two_plane_shifts_ns_per_link": float(f"{t_two * 1e9:.4g}"),
+        "packed_stack_shift_ns_per_link": float(f"{t_pack * 1e9:.4g}"),
+        "packed_over_two": float(f"{t_pack / t_two:.3g}"),
+    }
+
+
 def measure_hbm_peak():
     """Attainable HBM streaming bandwidth: big-buffer copy (read+write)."""
     import jax
@@ -358,6 +505,28 @@ def main():
     if jax.default_backend() == "tpu":
         result["vpu_fma_ops_per_s"] = float(f"{measure_vpu_peak():.4g}")
         result["hbm_bytes_per_s"] = float(f"{measure_hbm_peak():.4g}")
+        weights = measure_op_weights()
+        result["measured_op_weights"] = weights
+
+        def attainable_ps(census):
+            """Lower-bound time/element/subcycle from MEASURED weights."""
+            equiv = census.get("cheap", 0.0)
+            for prim, cnt in census.items():
+                if prim.startswith("costly:"):
+                    w = weights["sqrt_ops" if "sqrt" in prim else "div_ops"]
+                    equiv += cnt * w
+            equiv += census.get("shift:axis0", 0.0) * weights["shift_axis0_ops"]
+            equiv += census.get("shift:axis1", 0.0) * weights["shift_axis1_ops"]
+            t_op_ps = 1e12 / weights["fma_chain_ops_per_s"]
+            return {"equiv_ops": round(equiv, 1),
+                    "attainable_ps_per_el_sub": round(equiv * t_op_ps, 1)}
+
+        result["attainable_from_measured_weights"] = {
+            "fused_cg1": attainable_ps(cg1),
+            "tiled_ho": attainable_ps(ho),
+        }
+        if "--pack-ab" in sys.argv:
+            result["shift_packing_ab"] = measure_shift_packing()
         if "--kernels" in sys.argv:
             result["achieved"] = measure_kernels()
     print(json.dumps(result, indent=1))

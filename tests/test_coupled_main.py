@@ -190,3 +190,75 @@ def test_coupled_cli_shardmap_matches_single(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=2e-5, atol=1e-7
         )
+
+
+def test_coupled_cli_shardmap_checkpoint_resume_roundtrip(tmp_path, monkeypatch):
+    """Checkpoint -> kill -> resume INSIDE mode=shardmap: the resumed run
+    must reproduce an uninterrupted sharded run, the checkpoint must be
+    written once (not per-device), and it must hold full GLOBAL arrays."""
+    monkeypatch.chdir(tmp_path)
+    parallel = (
+        "[parallel]\nmode = shardmap\nmesh_shape = 4x2\n"
+        "mevp_backend = blocked-interpret\nmevp_block_halo = 4\n"
+    )
+
+    from nextsimdg_tpu.config import Configurator
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    def fresh_run(extra):
+        Configurator.clear()
+        ModuleRegistry.get_loader().reset()
+        cfg = write_cfg(tmp_path, extra=extra)
+        assert run_coupled(["prog", "--config-file", cfg]) == 0
+
+    # Uninterrupted sharded run: 0 -> 3000 s (5 steps). write_cfg pins
+    # stop=1800, so write the long run explicitly:
+    cfg = tmp_path / "long.cfg"
+    cfg.write_text(
+        "[model]\nstart = 0\nstop = 3000\ntime_step = 600\n"
+        "diagnostics_file = diag_long.h5\ndiagnostics_period = 5\n"
+        "checkpoint_period = 0\n"
+        "[dynamics]\nnx = 16\nny = 16\ndx = 32000.0\ndy = 32000.0\n"
+        "degree = 1\nsubcycles = 10\nthermo = true\n"
+        "forcing = constant\nwind = 10.0\n" + parallel
+    )
+    Configurator.clear()
+    ModuleRegistry.get_loader().reset()
+    assert run_coupled(["prog", "--config-file", str(cfg)]) == 0
+    shutil.move("coupled_restart.chk", "uninterrupted.chk")
+
+    # Interrupted run: 0 -> 1800 with a checkpoint every 2 steps; the
+    # "kill" is the normal stop — chk.2.chk (t=1200) is the survivor.
+    fresh_run(parallel)
+    assert os.path.exists("chk.2.chk")
+    # Written once: exactly the configured files, no per-device suffixes.
+    chk_files = sorted(f for f in os.listdir(".") if ".chk" in f)
+    assert chk_files == ["chk.2.chk", "coupled_restart.chk",
+                         "uninterrupted.chk"], chk_files
+    # Global (not per-device-local) state in the sharded checkpoint:
+    mid = load_coupled_state("chk.2.chk")
+    assert mid.hice.shape == (3, 16, 16)
+
+    # Resume from t=1200 inside shardmap mode and finish at 3000.
+    cfg = tmp_path / "resume.cfg"
+    cfg.write_text(
+        "[model]\nstart = 1200\nstop = 3000\ntime_step = 600\n"
+        "init_file = chk.2.chk\n"
+        "diagnostics_file = diag_res.h5\ndiagnostics_period = 5\n"
+        "checkpoint_period = 0\n"
+        "[dynamics]\nnx = 16\nny = 16\ndx = 32000.0\ndy = 32000.0\n"
+        "degree = 1\nsubcycles = 10\nthermo = true\n"
+        "forcing = constant\nwind = 10.0\n" + parallel
+    )
+    Configurator.clear()
+    ModuleRegistry.get_loader().reset()
+    assert run_coupled(["prog", "--config-file", str(cfg)]) == 0
+
+    import jax
+
+    a = load_coupled_state("uninterrupted.chk")
+    b = load_coupled_state("coupled_restart.chk")
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        # The checkpoint round-trip is exact (full-precision serialization
+        # of the gathered global arrays), so resumed == uninterrupted.
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

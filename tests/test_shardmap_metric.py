@@ -399,3 +399,209 @@ def test_mevp_blocked_graded_aweighted_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11
         )
+
+
+# ---------------------------------------------------------------------------
+# Full-ring spherical domains (periodic longitude) — the true config-5
+# topology: a pan-Arctic cap wraps in longitude, so the metric slicing
+# (LocalMeshView), the ring wrap (periodic_x) and the device-ring halo
+# exchange all compose. Round-4 verdict missing #2.
+# ---------------------------------------------------------------------------
+
+def ring_mesh(n=32):
+    """Full 0..360 longitude ring at high latitude; wraps in x."""
+    return SphericalMesh(
+        nx=n, ny=n, lon0=0.0, lon1=360.0, lat0=55.0, lat1=75.0,
+        periodic_x=True,
+    )
+
+
+def test_mevp_blocked_ring_spherical_matches_single_device():
+    """CG1 mEVP on the full longitude ring under shard_map: the periodic
+    wrap must ride the DEVICE ring (the +x neighbor of the last device
+    column is device column 0) while LocalMeshView slices each device's
+    metric — xla, blocked and blocked-interpret backends."""
+    n = 32
+    mesh = ring_mesh(n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    local = LocalMeshView(mesh, 4, 2)
+    spec = P("X", "Y")
+
+    for backend, halo in (
+        ("xla", None),
+        ("blocked", 4),
+        ("blocked-interpret", 4),
+    ):
+        kwargs = {} if halo is None else {"block_halo": halo}
+        solver = MEVPSolver(
+            local, MEVPParams(), backend=backend, spmd=("X", "Y"), **kwargs
+        )
+
+        def step_local(s, hh, aa, d):
+            mask = solver.boundary_mask(dtype)
+            return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+        got = jax.jit(
+            jax.shard_map(
+                step_local,
+                mesh=device_mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: spec, state),
+                    spec, spec, jax.tree.map(lambda _: spec, df),
+                ),
+                out_specs=jax.tree.map(lambda _: spec, state),
+                check_vma=False,
+            )
+        )(state, h, a, df)
+        for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11,
+                err_msg=f"ring {backend} halo={halo}",
+            )
+
+
+def test_mevp_ho_blocked_ring_spherical_matches_single_device():
+    """HO (CG2/dG1) mEVP on the full longitude ring under shard_map."""
+    from nextsimdg_tpu.dynamics.mevp_ho import (
+        HODynamicsForcing, HOField, HOVelocityState, MEVPSolverHO,
+    )
+
+    n = 32
+    mesh = ring_mesh(n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    const = lambda v: HOField(v=full(v), b=full(v), l=full(v), c=full(v))
+    df = HODynamicsForcing(
+        u_atm=const(10.0), v_atm=const(3.0),
+        u_ocean=const(0.02), v_ocean=const(0.0),
+    )
+    state = HOVelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolverHO(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    local = LocalMeshView(mesh, 4, 2)
+
+    def spec_of(leaf):
+        nd = np.ndim(leaf)
+        return P(*([None] * (nd - 2) + ["X", "Y"]))
+
+    for backend, halo in (("xla", None), ("blocked-interpret", 4)):
+        kwargs = {} if halo is None else {"block_halo": halo}
+        solver = MEVPSolverHO(
+            local, MEVPParams(), backend=backend, spmd=("X", "Y"), **kwargs
+        )
+
+        def step_local(s, hh, aa, d):
+            mask = solver.boundary_mask(dtype)
+            return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+        got = jax.jit(
+            jax.shard_map(
+                step_local,
+                mesh=device_mesh,
+                in_specs=(
+                    jax.tree.map(spec_of, state),
+                    P("X", "Y"), P("X", "Y"), jax.tree.map(spec_of, df),
+                ),
+                out_specs=jax.tree.map(spec_of, state),
+                check_vma=False,
+            )
+        )(state, h, a, df)
+        for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11,
+                err_msg=f"ring HO {backend} halo={halo}",
+            )
+
+
+def test_shardmap_coupled_ring_matches_single_device():
+    """Full coupled step (mEVP + transport + thermo) on the longitude
+    ring through build_sharded_coupled_model, per-subcycle AND blocked +
+    tiled-transport backends — the production config-5 composition."""
+    n = 16
+    mesh = ring_mesh(n)
+    ref_model = CoupledModel(mesh, degree=1, n_subcycles=10)
+    state = ref_model.initial_state(
+        hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=jnp.float64
+    )
+    pf, df = _coupled_setup(mesh)
+    expected = ref_model.step(state, pf, df, dt=600.0)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    for backend_kwargs in (
+        {},
+        {
+            "mevp_backend": "blocked-interpret", "mevp_block_halo": 4,
+            "transport_backend": "tiled-interpret",
+        },
+    ):
+        _, sharded_step = build_sharded_coupled_model(
+            mesh, device_mesh, degree=1, n_subcycles=10, **backend_kwargs
+        )
+        got = sharded_step(state, pf, df, 600.0)
+        for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-11,
+                err_msg=f"ring {backend_kwargs}",
+            )
+
+
+def test_rdma_ring_spherical_matches_single_device():
+    """RDMA overlapped exchange on the longitude ring: the in-kernel
+    remote copies must wrap the device ring while the widened metric
+    const planes come from LocalMeshView."""
+    n = 32
+    mesh = ring_mesh(n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolver(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 11)
+
+    shape, spmd = (4, 1), ("X", None)
+    device_mesh = make_spatial_mesh(shape)
+    local = LocalMeshView(mesh, *shape)
+    spec = P(*spmd)
+    solver = MEVPSolver(
+        local, MEVPParams(), backend="rdma-interpret", spmd=spmd, block_halo=4
+    )
+
+    def step_local(s, hh, aa, d):
+        mask = solver.boundary_mask(dtype)
+        return solver.step(s, hh, aa, d, mask, 600.0, 11)
+
+    got = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(lambda _: spec, state),
+                spec, spec, jax.tree.map(lambda _: spec, df),
+            ),
+            out_specs=jax.tree.map(lambda _: spec, state),
+            check_vma=False,
+        )
+    )(state, h, a, df)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-8, atol=1e-11,
+        )
