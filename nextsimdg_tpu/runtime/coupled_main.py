@@ -30,6 +30,9 @@ section:
     lat1 = 80.0
     lon0 = 0.0
     lon1 = 20.0
+    periodic_x = auto               # auto | true | false: wrap in x;
+                                    # 'auto' = on for full 360-degree
+                                    # spherical rings, off otherwise
     land_mask =                     # '' | synthetic | <mask.npy> (1=ocean)
 
 plus ``model.nlayers`` (ice temperature layers: 1 for ThermoIce0, 3 for
@@ -149,14 +152,26 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         nlayers = int(get("model.nlayers", 1))
         init_file = get("model.init_file", "")
 
+        # Full-ring pan-Arctic domains wrap in longitude. A 360-degree
+        # span IS a ring, so the wrap defaults on there; dynamics.periodic_x
+        # overrides either way (and is how Cartesian channels wrap).
+        ring = abs((lon1 - lon0) - 360.0) < 1e-9
+        periodic_raw = str(get("dynamics.periodic_x", "auto")).lower()
+        if periodic_raw == "auto":
+            periodic_x = ring and geometry is Geometry.SPHERICAL
+        else:
+            periodic_x = periodic_raw in ("1", "true", "yes", "on")
+
         if geometry is Geometry.SPHERICAL:
             from ..dynamics.mesh import SphericalMesh
 
             mesh = SphericalMesh(
-                nx=nx, ny=ny, lon0=lon0, lon1=lon1, lat0=lat0, lat1=lat1
+                nx=nx, ny=ny, lon0=lon0, lon1=lon1, lat0=lat0, lat1=lat1,
+                periodic_x=periodic_x,
             )
         else:
-            mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy)
+            mesh = RectMesh(nx=nx, ny=ny, dx=dx, dy=dy,
+                            periodic_x=periodic_x)
         ocean_mask = None
         if land_mask_spec:
             from ..dynamics.landmask import load_ocean_mask

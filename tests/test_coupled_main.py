@@ -262,3 +262,49 @@ def test_coupled_cli_shardmap_checkpoint_resume_roundtrip(tmp_path, monkeypatch)
         # The checkpoint round-trip is exact (full-precision serialization
         # of the gathered global arrays), so resumed == uninterrupted.
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_coupled_cli_full_ring_auto_periodic(tmp_path, monkeypatch):
+    """A 360-degree spherical span auto-wraps in longitude (the run/ring.cfg
+    topology), and the ring runs under [parallel] mode=shardmap."""
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(
+        tmp_path,
+        extra=(
+            "geometry = spherical\n"
+            "lat0 = 60.0\nlat1 = 75.0\nlon0 = 0.0\nlon1 = 360.0\n"
+            "[parallel]\nmode = shardmap\nmesh_shape = 4x2\n"
+            "mevp_backend = blocked-interpret\nmevp_block_halo = 4\n"
+        ),
+    )
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    state = load_coupled_state("coupled_restart.chk")
+    for leaf in (state.hice, state.cice, state.velocity.u):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert float(np.max(np.abs(np.asarray(state.velocity.u)))) > 0.0
+
+
+def test_coupled_cli_periodic_x_override(tmp_path, monkeypatch):
+    """dynamics.periodic_x = false unwraps a full ring (the explicit
+    override beats the 360-degree auto rule): walls change the flow."""
+    from nextsimdg_tpu.config import Configurator
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    monkeypatch.chdir(tmp_path)
+    ring = "geometry = spherical\nlat0 = 60.0\nlat1 = 75.0\n" \
+           "lon0 = 0.0\nlon1 = 360.0\n"
+    cfg = write_cfg(tmp_path, extra=ring)
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    shutil.move("coupled_restart.chk", "wrapped.chk")
+
+    Configurator.clear()
+    ModuleRegistry.get_loader().reset()
+    cfg = write_cfg(tmp_path, extra=ring + "periodic_x = false\n")
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+
+    a = load_coupled_state("wrapped.chk")
+    b = load_coupled_state("coupled_restart.chk")
+    # Closed x walls pin u=0 on the seam; the wrapped ring does not.
+    assert not np.allclose(
+        np.asarray(a.velocity.u), np.asarray(b.velocity.u)
+    )
