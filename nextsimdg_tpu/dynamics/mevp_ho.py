@@ -171,6 +171,49 @@ def _ho_tiled_reasonable(cfg) -> bool:
     return (tile_x + 2 * halo_x) / tile_x <= 1.75
 
 
+def ho_banded_config(nx: int, ny: int, n_consts: int = 29):
+    """(band_w, band_h) y-banding, or None when plain tiled suffices/fails.
+
+    At production widths (ny = 4096: BASELINE config 5) the full-row
+    tiled kernel's VMEM budget forces tile_x = 16 (2x halo redundancy —
+    rejected by ``_ho_tiled_reasonable``), and the round-5 measurement of
+    the resulting XLA fallback was a 10x cliff: 3.49e6 el/s at 16M vs
+    3.43e7 at 1M. Banding restores the tiled kernel by running the
+    subcycles on ``ny / band_w`` lane bands widened by ``band_h`` ghost
+    columns sliced from the NEIGHBORING bands (the blocked ghost-zone
+    exchange argument, with local slices instead of ppermute: each
+    subcycle invalidates one ghost ring, so band interiors stay exactly
+    equal through ``band_h`` subcycles). Score = lane redundancy x the
+    inner tile's row redundancy; ny=4096 selects band_w=1024, band_h=64
+    (ext 1152 -> tile (64, 8): 1.125 x 1.25 vs the rejected 2.0)."""
+    from .kernels.mevp_ho_tiled import ho_tiled_config
+
+    # Any divisor width works (the inner kernel zero-pads its lane extent
+    # to the next 128-multiple with inert columns) — necessary for the
+    # blocked exchange's widened local blocks, whose extents (local + 2H,
+    # e.g. 4224) have no power-of-two divisors in range. The padding cost
+    # is charged to the score via the PADDED extent.
+    cands = [
+        d for d in range(256, min(ny // 2, 2048) + 1) if ny % d == 0
+    ]
+    best = None
+    best_score = None
+    for band_h in (64, 32):
+        for band_w in cands:
+            if band_w < 2 * band_h:
+                continue
+            ext = band_w + 2 * band_h
+            cfg = ho_tiled_config(nx, ext, n_consts=n_consts)
+            if cfg is None or not _ho_tiled_reasonable(cfg):
+                continue
+            tile_x, halo_x = cfg
+            padded_ext = -(-ext // 128) * 128
+            score = (padded_ext / band_w) * ((tile_x + 2 * halo_x) / tile_x)
+            if best_score is None or score < best_score:
+                best, best_score = (band_w, band_h), score
+    return best
+
+
 class MEVPSolverHO:
     """Higher-order mEVP solver. API parallels ``MEVPSolver.step``."""
 
@@ -178,9 +221,11 @@ class MEVPSolverHO:
         self,
         mesh: RectMesh,
         params: MEVPParams = MEVPParams(),
-        backend: str = "auto",  # 'auto' | 'xla' | 'pallas[-interpret]' | 'blocked[-interpret]'
+        backend: str = "auto",  # 'auto' | 'xla' | 'pallas[-interpret]' |
+                                # 'blocked[-interpret]' | 'banded[-interpret]'
         spmd=(None, None),
         block_halo: int = 16,  # ghost-zone width of the blocked exchange
+        band=None,  # (band_w, band_h) y-banding override (tests/tuning)
     ) -> None:
         """Under shard_map (``spmd`` set) ``backend='blocked'`` widens the
         local block by ``block_halo`` ghost cells once per ``block_halo``
@@ -207,6 +252,7 @@ class MEVPSolverHO:
             block_halo = max(16, min(64, min(mesh.nx, mesh.ny) // 16))
             block_halo = min(block_halo, mesh.nx, mesh.ny)
         self.block_halo = int(block_halo)
+        self.band = None if band is None else (int(band[0]), int(band[1]))
         self.tables = cg2_tables()
 
     # -- plane <-> local-node machinery --------------------------------------
@@ -407,6 +453,8 @@ class MEVPSolverHO:
                 if self.backend == "pallas-tiled-interpret"
                 else "tiled"
             )
+        if self.backend in ("banded", "banded-interpret"):
+            return "banded"
         if self.backend == "xla":
             return "xla"
         if jax.default_backend() != "tpu":
@@ -430,6 +478,16 @@ class MEVPSolverHO:
         )
         if cfg is not None and periodic_ok and _ho_tiled_reasonable(cfg):
             return "tiled"
+        # Lane extents too wide to tile under the VMEM budget (config-5
+        # 4096-wide rows force tile_x=16 = 2x redundancy, rejected above):
+        # y-banding restores the tiled kernel — measured 10x over the XLA
+        # fallback at 16M (round 5; see ho_banded_config).
+        periodic_x_ok = not self.mesh.periodic_x or self.mesh.nx % 64 == 0
+        if periodic_x_ok and (
+            self.band is not None
+            or ho_banded_config(self.mesh.nx, self.mesh.ny, n_consts)
+        ):
+            return "banded"
         return "xla"
 
     def _n_consts(self) -> int:
@@ -616,7 +674,7 @@ class MEVPSolverHO:
         (``mevp_ho_pallas``); 'tiled' when the widened block exceeds VMEM
         but the full-row HO tiles fit; 'xla' otherwise (and on non-TPU
         backends, except when testing via 'blocked-interpret')."""
-        if self.backend == "blocked-interpret":
+        if self.backend in ("blocked-interpret", "banded-interpret"):
             return "single-interpret"
         if jax.default_backend() != "tpu":
             return "xla"
@@ -632,6 +690,11 @@ class MEVPSolverHO:
         cfg = ho_tiled_config(nxw, nyw, n_consts=self._n_consts())
         if cfg is not None and _ho_tiled_reasonable(cfg):
             return "tiled"
+        # Widened blocks of config-5-wide local domains (e.g. 4224 lanes
+        # at local 4096^2 + 2x64 ghosts): y-band the widened block so the
+        # tiled kernel still applies (round 5; 10x over the XLA fallback).
+        if ho_banded_config(nxw, nyw, self._n_consts()) is not None:
+            return "banded"
         return "xla"
 
     def _blocked_subcycles(self, carry0, consts, dt, n_subcycles):
@@ -691,6 +754,17 @@ class MEVPSolverHO:
                 from .kernels.mevp_ho_tiled import ho_subcycles_tiled
 
                 padded = ho_subcycles_tiled(local, padded, consts_w, dt, n_sub)
+            elif engine == "banded":
+                # Config-5-wide widened blocks: y-band the local solve so
+                # the tiled kernel applies (the banded pad sees the
+                # widened block's own ghosts as interior data).
+                banded = MEVPSolverHO(
+                    local.mesh, self.params, backend="banded",
+                    band=ho_banded_config(
+                        nx + 2 * h, ny + 2 * h, self._n_consts()
+                    ),
+                )
+                padded = banded._banded_subcycles(padded, consts_w, dt, n_sub)
             else:
                 def sub(_, c):
                     return local.subcycle_body(c, consts_w, dt)
@@ -704,6 +778,104 @@ class MEVPSolverHO:
         remaining = n_subcycles
         while remaining > 0:
             n_sub = min(h, remaining)
+            remaining -= n_sub
+            carry = round_body(carry, n_sub)
+        return carry
+
+    def _banded_subcycles(self, carry0, consts, dt, n_subcycles):
+        """Single-device y-banding: the blocked ghost-zone argument with
+        LOCAL SLICES instead of ppermute.
+
+        The full-row tiled kernel holds (tile_x + 2h) x ny lanes of all
+        46+ planes in VMEM, so very wide domains (config-5's ny = 4096)
+        force degenerate tiles. Banding runs the subcycle rounds on
+        ``ny / band_w`` lane bands, each widened by ``band_h`` ghost
+        columns taken from its neighbors in the SAME global array (the
+        y-pad wraps when periodic, zero-fills at closed walls — the wall
+        condition); per subcycle the gather(+1)/scatter(-1) pair
+        invalidates one ghost ring, so after ``band_h`` subcycles the
+        band interiors are exactly the unbanded result and restitching
+        is exact. Compute redundancy: ext/band_w in lanes x the inner
+        tile's row redundancy (1.125 x 1.25 at 4096^2 vs the 2.0 the
+        VMEM budget forces unbanded; measured 10x over the XLA fallback:
+        3.49e6 -> 3.1e7-class el/s at 16M)."""
+        band = self.band or ho_banded_config(
+            self.mesh.nx, self.mesh.ny, self._n_consts()
+        )
+        band_w, bh = band
+        nx, ny = self.mesh.nx, self.mesh.ny
+        px, py = self.mesh.periodic_x, self.mesh.periodic_y
+        n_bands = ny // band_w
+        ext = band_w + 2 * bh
+
+        def pad_y(f):
+            if py:
+                lo, hi = f[..., ny - bh:], f[..., :bh]
+            else:
+                lo = jnp.zeros_like(f[..., :bh])
+                hi = lo
+            return jnp.concatenate([lo, f, hi], axis=-1)
+
+        def band_slice(f, b):
+            return jax.lax.slice_in_dim(
+                f, b * band_w, b * band_w + ext, axis=f.ndim - 1
+            )
+
+        # Non-uniform geometry rides the (sliced) metric const planes;
+        # the shim mesh is unit uniform then (same as _blocked_subcycles).
+        local = MEVPSolverHO(
+            RectMesh(
+                nx=nx, ny=ext,
+                dx=self.mesh.dx if self.mesh.uniform else 1.0,
+                dy=self.mesh.dy if self.mesh.uniform else 1.0,
+                periodic_x=px,  # x is never cut: the global wrap is local
+            ),
+            self.params,
+            backend="xla",
+        )
+        consts_b = [
+            {name: band_slice(pad_y(value), b) for name, value in consts.items()}
+            for b in range(n_bands)
+        ]
+        engine = self._blocked_inner_engine(nx, ext)
+
+        def run_engine(band_carry, kconsts, n_sub):
+            if engine in ("single", "single-interpret"):
+                from .kernels.mevp_ho_pallas import ho_subcycles_pallas
+
+                return ho_subcycles_pallas(
+                    local, band_carry, kconsts, dt, n_sub,
+                    interpret=(engine == "single-interpret"),
+                )
+            if engine == "tiled":
+                from .kernels.mevp_ho_tiled import ho_subcycles_tiled
+
+                return ho_subcycles_tiled(local, band_carry, kconsts, dt, n_sub)
+
+            def sub(_, c):
+                return local.subcycle_body(c, kconsts, dt)
+
+            return jax.lax.fori_loop(0, n_sub, sub, band_carry)
+
+        def round_body(carry, n_sub):
+            padded = jax.tree.map(pad_y, carry)
+            outs = []
+            for b in range(n_bands):
+                got = run_engine(
+                    jax.tree.map(lambda f, b=b: band_slice(f, b), padded),
+                    consts_b[b], n_sub,
+                )
+                outs.append(
+                    jax.tree.map(lambda f: f[..., bh : bh + band_w], got)
+                )
+            return jax.tree.map(
+                lambda *fs: jnp.concatenate(fs, axis=-1), *outs
+            )
+
+        carry = carry0
+        remaining = n_subcycles
+        while remaining > 0:
+            n_sub = min(bh, remaining)
             remaining -= n_sub
             carry = round_body(carry, n_sub)
         return carry
@@ -800,6 +972,8 @@ class MEVPSolverHO:
             carry = ho_subcycles_tiled(
                 self, carry0, consts, dt, n_subcycles, **kwargs
             )
+        elif choice == "banded":
+            carry = self._banded_subcycles(carry0, consts, dt, n_subcycles)
         elif choice == "blocked":
             carry = self._blocked_subcycles(carry0, consts, dt, n_subcycles)
         elif choice == "rdma":

@@ -377,3 +377,151 @@ def test_ho_tiled_periodic_matches_xla_path():
         )
     # The wrap carried real signal: seam-row velocities are nonzero.
     assert float(jnp.max(jnp.abs(out_xla.u.v[0]))) > 1e-6
+
+
+def _banded_case(mesh, backend, band, n_subcycles=20):
+    import jax
+
+    n = mesh.nx
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, mesh.ny), v, dtype)
+    const = lambda v: HOField(v=full(v), b=full(v), l=full(v), c=full(v))
+    forcing = HODynamicsForcing(
+        u_atm=const(10.0), v_atm=const(3.0),
+        u_ocean=const(0.02), v_ocean=const(0.0),
+    )
+    h, a = full(2.0), full(0.95)
+    state = HOVelocityState.zeros(mesh.nx, mesh.ny, dtype)
+    ref = MEVPSolverHO(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(
+        state, h, a, forcing, ref.boundary_mask(dtype), 600.0, n_subcycles
+    )
+    sol = MEVPSolverHO(mesh, MEVPParams(), backend=backend, band=band)
+    assert sol._kernel_choice() == "banded"
+    got = sol.step(
+        state, h, a, forcing, sol.boundary_mask(dtype), 600.0, n_subcycles
+    )
+    return jax.tree.leaves(expected), jax.tree.leaves(got)
+
+
+def test_ho_banded_matches_xla_path():
+    """Single-device y-banding (config-5 wide-domain path: lane bands +
+    ghost columns sliced from neighbors, blocked-exchange invalidation
+    argument) must be EXACT vs the unbanded XLA path — closed, periodic
+    (the pad wraps) and spherical (metric rides the sliced consts)."""
+    from nextsimdg_tpu.dynamics.mesh import SphericalMesh
+
+    n = 32
+    for mesh in (
+        RectMesh(nx=n, ny=n, dx=8e3, dy=8e3),
+        RectMesh(nx=n, ny=n, dx=8e3, dy=8e3, periodic_x=True, periodic_y=True),
+        SphericalMesh(nx=n, ny=n, lon0=-20.0, lon1=20.0, lat0=60.0, lat1=80.0),
+    ):
+        # band_w=16, band_h=4: 2 bands, 5 rounds of 4 over 20 subcycles.
+        for x, y in zip(*_banded_case(mesh, "banded", (16, 4))):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=0, atol=0,
+                err_msg=f"{type(mesh).__name__} periodic={mesh.periodic_x}",
+            )
+
+
+def test_ho_banded_interpret_fused_inner_matches_xla_path():
+    """banded-interpret runs the fused HO kernel per band (interpret)."""
+    mesh = RectMesh(nx=32, ny=32, dx=8e3, dy=8e3)
+    for x, y in zip(*_banded_case(mesh, "banded-interpret", (16, 4), 11)):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_ho_banded_config_selects_config5_shape():
+    """At the 16M config-5 shape the auto rules reject the degenerate
+    2x-redundancy tile and select banding (1024-wide bands, h=64)."""
+    from nextsimdg_tpu.dynamics.kernels.mevp_ho_tiled import ho_tiled_config
+    from nextsimdg_tpu.dynamics.mevp_ho import (
+        _ho_tiled_reasonable, ho_banded_config,
+    )
+
+    cfg = ho_tiled_config(4096, 4096, n_consts=29)
+    assert cfg is not None and not _ho_tiled_reasonable(cfg)
+    band = ho_banded_config(4096, 4096, n_consts=29)
+    assert band is not None
+    band_w, band_h = band
+    ext = band_w + 2 * band_h
+    assert 4096 % band_w == 0
+    inner = ho_tiled_config(4096, ext, n_consts=29)
+    assert inner is not None and _ho_tiled_reasonable(inner)
+    tile_x, halo_x = inner
+    # Total compute redundancy well under the rejected unbanded 2.0.
+    assert (ext / band_w) * ((tile_x + 2 * halo_x) / tile_x) <= 1.5
+    # Small grids never band (plain tiled/fused handles them).
+    assert ho_banded_config(256, 256, n_consts=29) is None
+
+
+def test_ho_blocked_with_banded_inner_matches_single_device(monkeypatch):
+    """The blocked shard_map exchange with a BANDED inner engine (the
+    config-5 16M spmd composition: widened local block too wide to tile,
+    y-banded inside) must stay exact vs the single-device XLA path. The
+    engine selection is TPU-gated, so force it here; the banded solver's
+    own inner engine degrades to XLA on CPU — the composition logic
+    (widen -> pad -> band -> stitch -> crop) is what this pins."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from nextsimdg_tpu.dynamics.mevp_ho import MEVPSolverHO
+    from nextsimdg_tpu.parallel import make_spatial_mesh
+
+    n = 32
+    dtype = jnp.float64
+    mesh = RectMesh(nx=n, ny=n, dx=8e3, dy=8e3)
+    full = lambda v: jnp.full((n, n), v, dtype)
+    const = lambda v: HOField(v=full(v), b=full(v), l=full(v), c=full(v))
+    df = HODynamicsForcing(
+        u_atm=const(10.0), v_atm=const(3.0),
+        u_ocean=const(0.02), v_ocean=const(0.0),
+    )
+    h, a = full(2.0), full(0.95)
+    state = HOVelocityState.zeros(n, n, dtype)
+
+    ref = MEVPSolverHO(mesh, MEVPParams(), backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((2, 2))
+    local = RectMesh(nx=n // 2, ny=n // 2, dx=8e3, dy=8e3)
+    solver = MEVPSolverHO(
+        mesh=local, params=MEVPParams(), backend="blocked",
+        spmd=("X", "Y"), block_halo=8,
+    )
+    monkeypatch.setattr(
+        solver, "_blocked_inner_engine", lambda nxw, nyw: "banded"
+    )
+    # Widened block is (32, 32); band it 2x16 with 4-wide ghosts.
+    monkeypatch.setattr(
+        "nextsimdg_tpu.dynamics.mevp_ho.ho_banded_config",
+        lambda nx, ny, n_consts=29: (16, 4),
+    )
+
+    def spec_of(leaf):
+        nd = jnp.ndim(leaf)
+        return P(*([None] * (nd - 2) + ["X", "Y"]))
+
+    def step_local(s, hh, aa, d):
+        mask = solver.boundary_mask(dtype)
+        return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+    got = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(spec_of, state),
+                P("X", "Y"), P("X", "Y"), jax.tree.map(spec_of, df),
+            ),
+            out_specs=jax.tree.map(spec_of, state),
+            check_vma=False,
+        )
+    )(state, h, a, df)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=1e-12, atol=1e-13
+        )
