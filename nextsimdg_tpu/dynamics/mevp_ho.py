@@ -193,9 +193,12 @@ def ho_banded_config(nx: int, ny: int, n_consts: int = 29):
     # blocked exchange's widened local blocks, whose extents (local + 2H,
     # e.g. 4224) have no power-of-two divisors in range. The padding cost
     # is charged to the score via the PADDED extent.
-    cands = [
-        d for d in range(256, min(ny // 2, 2048) + 1) if ny % d == 0
-    ]
+    # Descending: on score ties prefer FEWER, larger bands (fewer kernel
+    # instances to compile/launch; measured equal otherwise).
+    cands = sorted(
+        (d for d in range(256, min(ny // 2, 2048) + 1) if ny % d == 0),
+        reverse=True,
+    )
     best = None
     best_score = None
     for band_h in (64, 32):
@@ -208,7 +211,17 @@ def ho_banded_config(nx: int, ny: int, n_consts: int = 29):
                 continue
             tile_x, halo_x = cfg
             padded_ext = -(-ext // 128) * 128
-            score = (padded_ext / band_w) * ((tile_x + 2 * halo_x) / tile_x)
+            # Redundant-compute product + per-round stitch/launch cost.
+            # The 16/band_h term is calibrated against the round-5 v5e
+            # A/B at 4096^2 (six (band_w, band_h) cells): pure redundancy
+            # ranks (512,32) first but (1024,64) MEASURES 13% faster —
+            # every stitch round pays pad/concat passes over 17 planes
+            # plus kernel re-entry; any weight in [8, 24] reproduces the
+            # measured winner, the ranking is insensitive inside that
+            # band.
+            score = (padded_ext / band_w) * (
+                (tile_x + 2 * halo_x) / tile_x
+            ) + 16.0 / band_h
             if best_score is None or score < best_score:
                 best, best_score = (band_w, band_h), score
     return best
