@@ -85,7 +85,8 @@ def _gather_global(tree):
     )
 
 
-def _build_problem(nx, ny, n_subcycles, dtype, **model_kwargs):
+def _build_problem(nx, ny, n_subcycles, dtype, spherical_ring=False,
+                   **model_kwargs):
     import jax.numpy as jnp
 
     from ..coupled import CoupledModel
@@ -93,7 +94,15 @@ def _build_problem(nx, ny, n_subcycles, dtype, **model_kwargs):
     from ..dynamics.mevp import DynamicsForcing
     from ..state import Forcing
 
-    mesh = RectMesh(nx=nx, ny=ny, dx=512e3 / nx, dy=512e3 / ny)
+    if spherical_ring:
+        # The config-5 topology: full 360-degree longitude ring — under
+        # shard_map the wrap ppermute crosses PROCESS boundaries here.
+        from ..dynamics.mesh import SphericalMesh
+
+        mesh = SphericalMesh(nx=nx, ny=ny, lon0=0.0, lon1=360.0,
+                             lat0=55.0, lat1=75.0, periodic_x=True)
+    else:
+        mesh = RectMesh(nx=nx, ny=ny, dx=512e3 / nx, dy=512e3 / ny)
     model = CoupledModel(mesh, degree=1, n_subcycles=n_subcycles,
                          **model_kwargs)
     state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05,
@@ -158,9 +167,13 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
         n = args.n
         dtype = jnp.float64
 
-        for path in args.paths.split(","):
+        for path_name in args.paths.split(","):
+            # '<path>-ring' runs the same exchange path on the config-5
+            # topology (spherical 360-degree ring, LocalMeshView).
+            path = path_name.removesuffix("-ring")
             mesh, model, state0, pf, df = _build_problem(
-                n, n, args.n_subcycles, dtype)
+                n, n, args.n_subcycles, dtype,
+                spherical_ring=path_name.endswith("-ring"))
             # Single-device reference: every process computes it locally
             # (tiny problem, deterministic) — the global run must match.
             ref = state0
@@ -212,7 +225,7 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
                     best = min(best, time.perf_counter() - t0)
                 entry["elements_per_s"] = n * n / best
                 entry["step_seconds"] = best
-            result["paths"][path] = entry
+            result["paths"][path_name] = entry
     except Exception as err:  # report, don't hang the launcher
         result["ok"] = False
         result["error"] = f"{type(err).__name__}: {err}"

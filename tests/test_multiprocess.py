@@ -29,9 +29,12 @@ def _launch_or_skip(num_processes, **kwargs):
 
 @pytest.mark.slow
 def test_two_process_run_matches_single_device():
-    """2 processes x 2 devices: gspmd AND blocked shard_map paths."""
+    """2 processes x 2 devices: gspmd, blocked shard_map, AND the
+    config-5 composition (spherical 360-degree ring + LocalMeshView +
+    blocked — the wrap ppermute crosses PROCESS boundaries)."""
+    paths = ("gspmd", "blocked", "blocked-ring")
     results = _launch_or_skip(
-        2, devices_per_process=2, paths=("gspmd", "blocked"),
+        2, devices_per_process=2, paths=paths,
         n=16, steps=2, n_subcycles=10,
     )
     assert len(results) == 2
@@ -39,7 +42,7 @@ def test_two_process_run_matches_single_device():
         assert r["ok"], r
         assert r["process_count"] == 2
         assert r["global_devices"] == 4
-        for path in ("gspmd", "blocked"):
+        for path in paths:
             # assert_allclose already ran in-worker; the reported error is
             # in tolerance units (<= 1.0 means within rtol/atol budget).
             assert r["paths"][path]["error_in_tolerance_units"] <= 1.0
