@@ -61,9 +61,14 @@ def save_coupled_state(path: str, state: CoupledState, time: float = 0.0) -> Non
         meta.attrs.create("velocity_type", np.bytes_(vel_type))
         group = handle.create_group("state")
         for leaf in _SCALAR_LEAVES + _VELOCITY_LEAVES[vel_type]:
-            group.create_dataset(
-                leaf, data=np.asarray(_get(state, leaf), dtype=np.float64)
-            )
+            # NATIVE dtype: upcasting f32 production state to f64 doubled
+            # checkpoint size and write time (a 16M HO checkpoint is
+            # 1.1 GB at f32; the f64 form took 177 s through the axon
+            # tunnel). Round-trip stays bit-exact either way — loads
+            # convert to the requested dtype, and f64 runs still store
+            # f64 (the reference-schema f8 contract lives in io/restart,
+            # not here).
+            group.create_dataset(leaf, data=np.asarray(_get(state, leaf)))
 
 
 def load_coupled_state(path: str, dtype=jnp.float32) -> CoupledState:

@@ -26,30 +26,32 @@ class DiagnosticWriter:
         self.field_names = tuple(field_names)
         self._file: Optional[h5py.File] = None
 
-    def _ensure_open(self, shapes) -> h5py.File:
+    def _ensure_open(self, arrays) -> h5py.File:
         if self._file is None:
             self._file = h5py.File(self.path, "w")
             self._file.create_dataset(
                 "time", shape=(0,), maxshape=(None,), dtype="f8"
             )
             for name in self.field_names:
-                shape = shapes[name]
+                arr = arrays[name]
+                # Native dtype: upcasting f32 production fields to f8
+                # doubled file size and write time (the coupled-restart
+                # writer had the same round-5 finding at 16M).
                 self._file.create_dataset(
                     name,
-                    shape=(0, *shape),
-                    maxshape=(None, *shape),
-                    dtype="f8",
-                    chunks=(1, *shape),
+                    shape=(0, *arr.shape),
+                    maxshape=(None, *arr.shape),
+                    dtype=arr.dtype,
+                    chunks=(1, *arr.shape),
                 )
         return self._file
 
     def write(self, time: float, fields) -> None:
         """Append one time slice; ``fields`` maps name -> (nx, ny) array."""
         arrays = {
-            name: np.asarray(fields[name], dtype=np.float64)
-            for name in self.field_names
+            name: np.asarray(fields[name]) for name in self.field_names
         }
-        handle = self._ensure_open({k: v.shape for k, v in arrays.items()})
+        handle = self._ensure_open(arrays)
         n = handle["time"].shape[0]
         handle["time"].resize((n + 1,))
         handle["time"][n] = time
