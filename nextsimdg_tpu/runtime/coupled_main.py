@@ -299,6 +299,12 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             )
 
     diag = DiagnosticWriter(diag_file) if diag_file and diag_period else None
+    from concurrent.futures import ThreadPoolExecutor
+
+    # One background writer: periodic checkpoints overlap with stepping
+    # (single worker preserves write order; the final checkpoint joins).
+    ckpt_pool = ThreadPoolExecutor(max_workers=1)
+    pending_ckpt = None
     n_steps = int(round((stop - start) / dt)) if dt else 0
     Logged.info(f"Coupled run: {n_steps} steps of {dt} s on {nx}x{ny} dG{degree}")
 
@@ -332,9 +338,19 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                         )
                 if checkpoint_period and step % checkpoint_period == 0:
                     with main_timer.scope("checkpoint"):
-                        save_coupled_state(
+                        # Async: JAX arrays are immutable, so the worker
+                        # thread fetches + writes while stepping
+                        # continues (a 16M checkpoint costs ~57 s wall
+                        # through the axon tunnel — hidden behind the
+                        # next checkpoint_period's compute). Surfacing a
+                        # previous failure here keeps the one-writer
+                        # ordering and loud errors.
+                        if pending_ckpt is not None:
+                            pending_ckpt.result()
+                        pending_ckpt = ckpt_pool.submit(
+                            save_coupled_state,
                             checkpoint_pattern.format(step=step), state,
-                            time=start + step * dt,
+                            start + step * dt,
                         )
                 if diag is not None and step % diag_period == 0:
                     with main_timer.scope("diagnostics"):
@@ -349,7 +365,10 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         if pipeline is not None:
             pipeline.close()
         with main_timer.scope("final-checkpoint"):
+            if pending_ckpt is not None:
+                pending_ckpt.result()  # drain the async writer first
             save_coupled_state("coupled_restart.chk", state, time=stop)
+        ckpt_pool.shutdown(wait=True)
 
     print(main_timer.report(), file=sys.stderr)
     return 0
