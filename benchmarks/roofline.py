@@ -509,17 +509,35 @@ def main():
         result["measured_op_weights"] = weights
 
         def attainable_ps(census):
-            """Lower-bound time/element/subcycle from MEASURED weights."""
+            """Lower-bound time/element/subcycle from MEASURED weights.
+
+            Only div and sqrt/rsqrt have on-chip-measured weights; any
+            other costly primitive (exp in the strength term, log, pow)
+            is charged at the div weight AND listed in ``approximated``
+            so the bound's provenance stays honest — exp on the
+            transcendental path may cost more than a divide.
+            """
             equiv = census.get("cheap", 0.0)
+            approximated = []
             for prim, cnt in census.items():
-                if prim.startswith("costly:"):
-                    w = weights["sqrt_ops" if "sqrt" in prim else "div_ops"]
-                    equiv += cnt * w
+                if not prim.startswith("costly:"):
+                    continue
+                name = prim.split(":", 1)[1]
+                if name in ("sqrt", "rsqrt"):
+                    w = weights["sqrt_ops"]
+                else:
+                    w = weights["div_ops"]
+                    if name != "div":
+                        approximated.append(name)
+                equiv += cnt * w
             equiv += census.get("shift:axis0", 0.0) * weights["shift_axis0_ops"]
             equiv += census.get("shift:axis1", 0.0) * weights["shift_axis1_ops"]
             t_op_ps = 1e12 / weights["fma_chain_ops_per_s"]
-            return {"equiv_ops": round(equiv, 1),
-                    "attainable_ps_per_el_sub": round(equiv * t_op_ps, 1)}
+            out = {"equiv_ops": round(equiv, 1),
+                   "attainable_ps_per_el_sub": round(equiv * t_op_ps, 1)}
+            if approximated:
+                out["approximated_at_div_weight"] = sorted(approximated)
+            return out
 
         result["attainable_from_measured_weights"] = {
             "fused_cg1": attainable_ps(cg1),

@@ -752,6 +752,18 @@ class MEVPSolverHO:
         )
         consts_w = {name: widen(value) for name, value in consts.items()}
         engine = self._blocked_inner_engine(nx + 2 * h, ny + 2 * h)
+        banded = None
+        if engine == "banded":
+            # Config-5-wide widened blocks: y-band the local solve so the
+            # tiled kernel applies (the banded pad sees the widened
+            # block's own ghosts as interior data). Built once —
+            # loop-invariant across halo rounds.
+            banded = MEVPSolverHO(
+                local.mesh, self.params, backend="banded",
+                band=ho_banded_config(
+                    nx + 2 * h, ny + 2 * h, self._n_consts()
+                ),
+            )
 
         def round_body(carry, n_sub):
             padded = jax.tree.map(widen, carry)
@@ -768,15 +780,6 @@ class MEVPSolverHO:
 
                 padded = ho_subcycles_tiled(local, padded, consts_w, dt, n_sub)
             elif engine == "banded":
-                # Config-5-wide widened blocks: y-band the local solve so
-                # the tiled kernel applies (the banded pad sees the
-                # widened block's own ghosts as interior data).
-                banded = MEVPSolverHO(
-                    local.mesh, self.params, backend="banded",
-                    band=ho_banded_config(
-                        nx + 2 * h, ny + 2 * h, self._n_consts()
-                    ),
-                )
                 padded = banded._banded_subcycles(padded, consts_w, dt, n_sub)
             else:
                 def sub(_, c):
@@ -815,8 +818,21 @@ class MEVPSolverHO:
         band = self.band or ho_banded_config(
             self.mesh.nx, self.mesh.ny, self._n_consts()
         )
+        if band is None:
+            raise ValueError(
+                f"backend='banded' on {self.mesh.nx}x{self.mesh.ny}: no "
+                "viable (band_w, band_h) — the mesh is too narrow to band "
+                "(every candidate width is >= 256); use backend='auto' "
+                "(the fused/tiled kernels handle small grids) or pass an "
+                "explicit band=(w, h)"
+            )
         band_w, bh = band
         nx, ny = self.mesh.nx, self.mesh.ny
+        if ny % band_w:
+            raise ValueError(
+                f"band width {band_w} does not divide ny={ny}; the last "
+                f"{ny % band_w} columns would never be computed"
+            )
         px, py = self.mesh.periodic_x, self.mesh.periodic_y
         n_bands = ny // band_w
         ext = band_w + 2 * bh
@@ -846,8 +862,12 @@ class MEVPSolverHO:
             self.params,
             backend="xla",
         )
+        # Pad each const plane ONCE, then slice per band (padding inside
+        # the per-band comprehension would trace n_bands identical
+        # concatenates per plane).
+        consts_p = {name: pad_y(value) for name, value in consts.items()}
         consts_b = [
-            {name: band_slice(pad_y(value), b) for name, value in consts.items()}
+            {name: band_slice(value, b) for name, value in consts_p.items()}
             for b in range(n_bands)
         ]
         engine = self._blocked_inner_engine(nx, ext)

@@ -21,10 +21,15 @@ Two pieces:
   path a pod launch uses — process-spanning collectives, global-array
   assembly, ``distributed.initialize`` — without TPU pod hardware.
 
-Pod launch recipe this validates (one process per host)::
+Pod launch recipe this validates (one process per host). NOTE the
+``--platform`` flag: workers default to the CPU backend (the
+f64-tolerance validation this module exists for); on real pod hosts
+pass ``--platform tpu`` or the "pod run" silently executes on host
+CPUs::
 
     # on host i of N (TPU pods: all arguments auto-detected from env):
     python -m nextsimdg_tpu.parallel.multiprocess --worker \
+        --platform tpu \
         --coordinator <host0>:9876 --num-processes N --process-id i ...
 
 Reference: the C++ reference has no multi-host layer (CMakeLists.txt:43-46
@@ -128,14 +133,18 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--n-subcycles", type=int, default=10)
     ap.add_argument("--bench-reps", type=int, default=0,
                     help="extra timed reps per path (0 = validate only)")
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform ('cpu' = the f64 validation "
+                         "default; 'tpu' on real pod hosts)")
     args = ap.parse_args(argv)
 
     import jax
 
-    # The axon site plugin overrides JAX_PLATFORMS at import; the DCN
-    # validation runs on the CPU backend (memory: platform re-assert rule).
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    # Site plugins (the axon tunnel) override JAX_PLATFORMS at import;
+    # re-assert the requested backend before any device probe.
+    jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
     # Must precede any backend initialization (jax.devices() etc.).
     jax.distributed.initialize(
         coordinator_address=args.coordinator,
@@ -165,7 +174,12 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
         part = SpatialPartition(device_mesh)
         px, py = device_mesh.devices.shape
         n = args.n
-        dtype = jnp.float64
+        # CPU validation: f64 at the suite's tolerance budget. TPU pods:
+        # f32 with the f32 budget the in-process shard_map tests use.
+        if args.platform == "cpu":
+            dtype, rtol, atol = jnp.float64, RTOL, ATOL
+        else:
+            dtype, rtol, atol = jnp.float32, 2e-5, 1e-6
 
         for path_name in args.paths.split(","):
             # '<path>-ring' runs the same exchange path on the config-5
@@ -210,9 +224,9 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             worst = 0.0
             for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got_np)):
                 a, b = np.asarray(a), np.asarray(b)
-                np.testing.assert_allclose(b, a, rtol=RTOL, atol=ATOL)
+                np.testing.assert_allclose(b, a, rtol=rtol, atol=atol)
                 worst = max(worst, float(np.max(
-                    np.abs(b - a) / (ATOL + RTOL * np.abs(a)))))
+                    np.abs(b - a) / (atol + rtol * np.abs(a)))))
 
             entry = {"error_in_tolerance_units": worst, "mesh": f"{px}x{py}"}
             if args.bench_reps:

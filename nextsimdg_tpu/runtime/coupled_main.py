@@ -366,7 +366,15 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
             pipeline.close()
         with main_timer.scope("final-checkpoint"):
             if pending_ckpt is not None:
-                pending_ckpt.result()  # drain the async writer first
+                # Drain the async writer, but never let a failed PERIODIC
+                # checkpoint (disk blip) stop the final restart write or
+                # mask an exception from the run loop — the state in
+                # memory is intact and coupled_restart.chk is the
+                # artifact a resume needs.
+                try:
+                    pending_ckpt.result()
+                except Exception as err:
+                    Logged.error(f"async periodic checkpoint failed: {err}")
             save_coupled_state("coupled_restart.chk", state, time=stop)
         ckpt_pool.shutdown(wait=True)
 

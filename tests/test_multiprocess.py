@@ -21,8 +21,10 @@ def _launch_or_skip(num_processes, **kwargs):
     except RuntimeError as err:
         msg = str(err)
         # Environments without working localhost gRPC coordination can't
-        # run the multi-process leg at all; anything else is a real bug.
-        if "initialize" in msg or "coordinator" in msg or "timed out" in msg:
+        # run the multi-process leg at all; anything else — INCLUDING a
+        # timeout, which is how a deadlocked cross-process collective
+        # presents — is a real failure and must not skip.
+        if "initialize" in msg or "coordinator" in msg:
             pytest.skip(f"multi-process runtime unavailable: {msg[:200]}")
         raise
 
