@@ -251,6 +251,9 @@ class CoupledModel:
             return None  # graded TVB tolerance planes: staged path
         if self.transport_backend == "tiled-interpret":
             return "interpret-spmd" if spmd else "interpret"
+        if self.transport_backend == "banded-interpret":
+            # Test mode for the y-banded wrapper (single device only).
+            return None if spmd else "interpret-banded"
         if self.transport_backend != "auto":
             return None
         import jax as _jax
@@ -264,9 +267,17 @@ class CoupledModel:
 
             cfg = transport_tiled_spmd_config(self)
             return "tpu-spmd" if cfg is not None else None
-        from .dynamics.kernels.transport_tiled import transport_tiled_config
+        from .dynamics.kernels.transport_tiled import (
+            transport_banded_config, transport_tiled_config,
+        )
 
-        return "tpu" if transport_tiled_config(self) is not None else None
+        # Banding serves only shapes the full-width kernel cannot (e.g.
+        # lane extents not divisible by 128): measured at 16M, the
+        # DMA-bound transport kernel is FASTER with a degenerate
+        # full-width tile than banded (see transport_banded_config).
+        if transport_tiled_config(self) is not None:
+            return "tpu"
+        return "tpu-banded" if transport_banded_config(self) is not None else None
 
     # -- one coupled timestep ------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "dt", "do_dynamics", "do_thermo"))
@@ -402,6 +413,29 @@ class CoupledModel:
                         self, tracers,
                         dt_sub=dt / k.astype(dtype), k=k, face_masks=masks,
                         interpret=(tiled_mode == "interpret-spmd"), **tile_kw,
+                    )
+                elif tiled_mode.endswith("-banded"):
+                    from .dynamics.kernels.transport_tiled import (
+                        transport_substeps_tiled_banded,
+                    )
+
+                    band_kw = dict(tile_kw)
+                    band_kw.pop("tile_x", None)
+                    if tiled_mode == "interpret-banded":
+                        # Tiny bands + tiles so small test grids chain
+                        # bands and restitch rounds.
+                        ny = self.mesh.ny
+                        nx = self.mesh.nx
+                        band_kw["band"] = (
+                            ny // 2 if ny % 2 == 0 else ny,
+                            8,
+                            8 if nx % 8 == 0 else nx,
+                        )
+                    tracers = transport_substeps_tiled_banded(
+                        self, tracers,
+                        dt_sub=dt / k.astype(dtype), k=k, face_masks=masks,
+                        interpret=(tiled_mode == "interpret-banded"),
+                        **band_kw,
                     )
                 else:
                     tracers = transport_substeps_tiled(

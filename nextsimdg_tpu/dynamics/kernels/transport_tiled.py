@@ -443,6 +443,221 @@ def transport_tiled_spmd_config(model, n_tracers: int = 3, min_local: int = 6553
     return None
 
 
+def transport_banded_config(model, n_tracers: int = 3):
+    """(band_w, band_g, tile_x) y-banding for lane extents too wide to
+    tile well, or None when the full-width config is already good.
+
+    Banding runs the substep rounds on ``ny / band_w`` lane bands
+    widened by ``band_g`` ghost columns sliced from the neighboring
+    bands (zero-filled at closed walls, wrapped when periodic); each
+    substep invalidates ``rings_per_substep`` ghost rings, so
+    ``(band_g - 1) // rings`` substeps run per restitch.
+
+    MEASURED NEGATIVE RESULT (round 5, v5e): unlike the HO mEVP kernel
+    (100 compute-dominated subcycles, where banding won 7.8x), the
+    transport kernel is DMA-bound — at 16M, auto-banding the degenerate
+    tile_x=16 config to (1024, 8, 128) measured 2-6% SLOWER
+    (spherical_16m 9.88e7 -> 9.40e7; multihost_16m 1.16e8 -> 1.09e8):
+    the 2x compute redundancy was free behind the streaming, and the
+    per-step pad/stitch passes are not. Auto therefore engages banding
+    ONLY for shapes the full-width kernel cannot serve at all; the
+    backend stays explicitly selectable.
+    """
+    mesh, tr = model.mesh, model.transport
+    if any(axis is not None for axis in model.spmd):
+        return None
+    if not mesh.uniform and tr.tvb_m is not None:
+        return None
+    if mesh.n_elements < _MIN_ELEMENTS:
+        return None
+    cfg = transport_tiled_config(model, n_tracers=n_tracers)
+    if cfg is not None:
+        return None  # any full-width tile beats banding (see above)
+    rings = _rings_per_substep(tr)
+    g = max(_HALO_X, rings + 1)  # >= 1 substep per restitch
+    n_dofs = tr.basis.n_dofs
+    planes = 4 + 24 + 10 * n_dofs * n_tracers + 12
+    if not mesh.uniform:
+        planes += 5
+    if tr.tvb_m is not None:
+        planes += 4
+    budget = _VMEM_BUDGET // (planes * 4)
+    best = None
+    best_score = None
+    for band_w in sorted(
+        (d for d in range(256, min(mesh.ny // 2, 2048) + 1)
+         if mesh.ny % d == 0),
+        reverse=True,
+    ):
+        ext = band_w + 2 * g
+        ext_pad = ext + (-ext) % 128
+        for tile_x in (512, 384, 256, 192, 128, 96, 64):
+            if mesh.nx % tile_x == 0 and (tile_x + 2 * _HALO_X) * ext_pad <= budget:
+                score = (ext_pad / band_w) * ((tile_x + 2 * _HALO_X) / tile_x)
+                if best_score is None or score < best_score:
+                    best, best_score = (band_w, g, tile_x), score
+                break
+    return best
+
+
+def transport_substeps_tiled_banded(
+    model,  # CoupledModel (static; single device)
+    tracers,  # (K, T, nx, ny) stacked DG coefficients
+    u=None, v=None,  # (nx, ny) owned-node velocity (CG1 path)
+    dt_sub=None,
+    k=None,  # traced int32 total substep count
+    face_masks=None,
+    interpret: bool = False,
+    qv=None,  # precomputed QuadVelocity (HO path)
+    band=None,  # (band_w, band_g, tile_x) override (tests)
+):
+    """Single-device y-banded tiled transport (see transport_banded_config).
+
+    Structure mirrors ``transport_substeps_tiled_spmd`` with LOCAL SLICES
+    instead of ppermute: global wall zeroing is baked into the face masks
+    (and TVB wall-delta masks) BEFORE the y-pad, the pad wraps on
+    periodic y and zero-fills on closed y (zero masks = no flux = the
+    wall treatment, so the lane pad and out-of-band ghosts are inert),
+    and every band runs the single-chip kernel on its (nx, ext) block —
+    band interiors stay exactly equal through ``(band_g - 1) // rings``
+    substeps by the ghost-ring invalidation argument.
+    """
+    from types import SimpleNamespace
+
+    from ..mesh import RectMesh
+    from ..transport import DGTransport, QuadVelocity
+
+    mesh, tr = model.mesh, model.transport
+    band_w, g, tile_x = (
+        band if band is not None
+        else transport_banded_config(model, n_tracers=tracers.shape[1])
+    )
+    nx, ny = mesh.nx, mesh.ny
+    if ny % band_w:
+        raise ValueError(f"band width {band_w} does not divide ny={ny}")
+    rings = _rings_per_substep(tr)
+    k_cap = (min(g, _HALO_X) - 1) // rings
+    if k_cap < 1:
+        raise ValueError(f"band ghost g={g} too small for {tr.scheme}")
+    n_bands = ny // band_w
+    ext = band_w + 2 * g
+    lane_pad = 0 if interpret else (-ext) % 128
+    py_wrap = bool(mesh.periodic_y)
+    dtype = tracers.dtype
+
+    # Global wall zeroing BEFORE padding: the kernel's own local-edge
+    # zeroing then lands on ghost/pad columns (discard space).
+    ones = jnp.ones((nx, ny), dtype)
+    fx = ones if face_masks is None else face_masks[0].astype(dtype)
+    fy = ones if face_masks is None else face_masks[1].astype(dtype)
+    if not py_wrap:
+        fy = fy.at[:, 0].set(0.0)
+
+    def pad_y(f):
+        if py_wrap:
+            f = jnp.concatenate([f[..., ny - g:], f, f[..., :g]], axis=-1)
+        else:
+            zeros = jnp.zeros(f.shape[:-1] + (g,), f.dtype)
+            f = jnp.concatenate([zeros, f, zeros], axis=-1)
+        return f
+
+    def band_block(f, b):
+        blk = jax.lax.slice_in_dim(
+            f, b * band_w, b * band_w + ext, axis=f.ndim - 1
+        )
+        if lane_pad:
+            blk = jnp.pad(
+                blk, [(0, 0)] * (blk.ndim - 1) + [(0, lane_pad)]
+            )
+        return blk
+
+    # Per-band constant planes, built once (padded once, sliced per band).
+    fx_p, fy_p = pad_y(fx), pad_y(fy)
+    if qv is None:
+        u_p, v_p = pad_y(u), pad_y(v)
+        vel_b = [dict(u=band_block(u_p, b), v=band_block(v_p, b))
+                 for b in range(n_bands)]
+    else:
+        qv_p = QuadVelocity(
+            vx_vol=pad_y(qv.vx_vol), vy_vol=pad_y(qv.vy_vol),
+            vn_x=pad_y(qv.vn_x), vn_y=pad_y(qv.vn_y),
+        )
+        vel_b = [dict(qv=QuadVelocity(
+            vx_vol=band_block(qv_p.vx_vol, b),
+            vy_vol=band_block(qv_p.vy_vol, b),
+            vn_x=band_block(qv_p.vn_x, b),
+            vn_y=band_block(qv_p.vn_y, b),
+        )) for b in range(n_bands)]
+    metric_b = [{} for _ in range(n_bands)]
+    local_metric = tr.metric_planes(dtype)
+    if local_metric is not None:
+        metric_p = {name: pad_y(p) for name, p in local_metric.items()}
+        metric_b = [
+            {"metric": {name: band_block(p, b)
+                        for name, p in metric_p.items()}}
+            for b in range(n_bands)
+        ]
+    tvb_b = [{} for _ in range(n_bands)]
+    if tr.tvb_m is not None:
+        # True wall locations baked globally; band-local edges are NOT
+        # walls (their zero strips mean "no wall-delta zeroing", which is
+        # correct: ghost zones are discard space).
+        zeros = jnp.zeros((nx, ny), dtype)
+        one = jnp.ones((), dtype)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
+        fwd_x = bwd_x = fwd_y = bwd_y = zeros
+        if not mesh.periodic_x:
+            fwd_x = jnp.where(ix == nx - 1, one, zeros)
+            bwd_x = jnp.where(ix == 0, one, zeros)
+        if not py_wrap:
+            fwd_y = jnp.where(iy == ny - 1, one, zeros)
+            bwd_y = jnp.where(iy == 0, one, zeros)
+        walls_p = [pad_y(m) for m in (fwd_x, bwd_x, fwd_y, bwd_y)]
+        tvb_b = [
+            {"wall_masks": tuple(band_block(m, b) for m in walls_p)}
+            for b in range(n_bands)
+        ]
+
+    local_mesh = RectMesh(
+        nx=nx, ny=ext + lane_pad,
+        dx=mesh.dx if mesh.uniform else 1.0,
+        dy=mesh.dy if mesh.uniform else 1.0,
+        periodic_x=mesh.periodic_x,  # x is never cut
+    )
+    local_model = SimpleNamespace(
+        mesh=local_mesh,
+        spmd=(None, None),
+        transport=DGTransport(
+            local_mesh, degree=tr.basis.degree, scheme=tr.scheme,
+            tvb_m=tr.tvb_m,
+        ),
+    )
+
+    k = jnp.asarray(k, jnp.int32)
+
+    def round_body(carry):
+        states, done = carry
+        n_sub = jnp.minimum(jnp.int32(k_cap), k - done)
+        padded = jax.tree.map(pad_y, states)
+        outs = []
+        for b in range(n_bands):
+            got = transport_substeps_tiled(
+                local_model, band_block(padded, b), dt_sub=dt_sub,
+                k=n_sub,
+                face_masks=(band_block(fx_p, b), band_block(fy_p, b)),
+                interpret=interpret, tile_x=tile_x,
+                **vel_b[b], **metric_b[b], **tvb_b[b],
+            )
+            outs.append(got[:, :, :, g : g + band_w])
+        return jnp.concatenate(outs, axis=-1), done + n_sub
+
+    states, _ = jax.lax.while_loop(
+        lambda c: c[1] < k, round_body, (tracers, jnp.int32(0))
+    )
+    return states
+
+
 def transport_substeps_tiled_spmd(
     model,  # CoupledModel on the LOCAL block (spmd axes set)
     tracers,  # (K, T, nx, ny) LOCAL stacked DG coefficients

@@ -384,3 +384,109 @@ def test_tiled_periodic_interpret_matches_xla(periodic, n):
             np.asarray(out[k]), np.asarray(getattr(expected, name)),
             rtol=1e-12, atol=1e-13, err_msg=f"{name} periodic={periodic}",
         )
+
+
+@pytest.mark.parametrize(
+    "case", ["plain", "periodic", "mask", "tvb", "rounds", "spherical", "ho"]
+)
+def test_banded_transport_interpret_matches_staged_path(case):
+    """Y-banded tiled transport (round 5: config-5-wide lanes get lane
+    bands + sliced ghost columns instead of degenerate tile_x=16) ==
+    staged XLA path exactly — incl. periodic wrap through the band pad,
+    coastline masks, TVB wall-delta masks, multi-round restitching,
+    spherical metric const planes, and the HO quadrature-velocity path."""
+    import jax
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.state import Forcing
+
+    n = 16
+    ocean = None
+    kw = dict(degree=1, n_subcycles=10)
+    periodic = case == "periodic"
+    if case == "mask":
+        ocean = np.ones((n, n))
+        ocean[5:8, 6:10] = 0.0
+        ocean[:, 0] = 0.0
+        kw["ocean_mask"] = ocean
+    if case == "tvb":
+        kw["tvb_m"] = 0.0
+    if case == "rounds":
+        kw.update(auto_substeps=False, transport_substeps=5)
+    if case == "spherical":
+        from nextsimdg_tpu.dynamics.mesh import SphericalMesh
+
+        mesh = SphericalMesh(
+            nx=n, ny=n, lon0=-20.0, lon1=20.0, lat0=60.0, lat1=80.0
+        )
+    else:
+        mesh = RectMesh(
+            nx=n, ny=n, dx=512e3 / n, dy=512e3 / n,
+            periodic_x=periodic, periodic_y=periodic,
+        )
+    if case == "ho":
+        from nextsimdg_tpu.modules import ModuleRegistry
+
+        ModuleRegistry.get_loader().set_implementation(
+            "Nextsim::IDynamics", "Nextsim::MEVPHighOrder"
+        )
+    try:
+        staged = CoupledModel(mesh, transport_backend="xla", **kw)
+        banded = CoupledModel(mesh, transport_backend="banded-interpret", **kw)
+    finally:
+        if case == "ho":
+            ModuleRegistry.get_loader().reset()
+    assert banded._tiled_transport_mode() == "interpret-banded"
+    if case == "ho":
+        assert banded.is_high_order
+
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    results = {}
+    for name, model in (("staged", staged), ("banded", banded)):
+        state = model.initial_state(hice0=1.2, cice0=0.9, hsnow0=0.1, dtype=dtype)
+        for _ in range(2):
+            state = model.step(state, None, df, dt=600.0, do_thermo=False)
+        results[name] = state
+
+    for a, b in zip(
+        jax.tree.leaves(results["staged"]), jax.tree.leaves(results["banded"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13,
+            err_msg=case,
+        )
+
+
+def test_transport_banded_config_gates_on_full_width():
+    """Banding engages ONLY where the full-width kernel cannot run at
+    all (measured round 5: the DMA-bound transport kernel is faster
+    with a degenerate full-width tile than banded — negative result
+    recorded in transport_banded_config)."""
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import RectMesh
+    from nextsimdg_tpu.dynamics.kernels.transport_tiled import (
+        transport_banded_config, transport_tiled_config,
+    )
+
+    # 16M with a servable (if degenerate) full-width tile: NO banding.
+    model = CoupledModel(RectMesh(nx=4096, ny=4096, dx=4e3, dy=4e3), degree=1)
+    assert transport_tiled_config(model) is not None
+    assert transport_banded_config(model) is None
+
+    # >=1M with a lane extent 128 cannot divide: full-width refuses,
+    # banding serves it (the pad lives per band).
+    model = CoupledModel(RectMesh(nx=4096, ny=4000, dx=4e3, dy=4e3), degree=1)
+    assert transport_tiled_config(model) is None
+    band = transport_banded_config(model)
+    assert band is not None
+    band_w, g, tile_x = band
+    assert 4000 % band_w == 0 and tile_x >= 64
+
+    # Small grids keep the staged/fused paths entirely.
+    small = CoupledModel(RectMesh(nx=1024, ny=1024, dx=4e3, dy=4e3), degree=1)
+    assert transport_banded_config(small) is None
