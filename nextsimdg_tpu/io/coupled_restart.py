@@ -48,9 +48,16 @@ def _velocity_type(velocity) -> str:
 
 
 def save_coupled_state(path: str, state: CoupledState, time: float = 0.0) -> None:
+    import jax
+
     from ..state import fetch_state
 
+    # Multi-host: fetch_state is a COLLECTIVE (process_allgather of every
+    # leaf), so all processes call it — but exactly one writes the file
+    # (shared filesystems would otherwise race N writers on one path).
     state = fetch_state(state)  # batched, alias-free device->host transfer
+    if jax.process_index() != 0:
+        return
     vel_type = _velocity_type(state.velocity)
     with h5py.File(path, "w") as handle:
         meta = handle.create_group("structure")

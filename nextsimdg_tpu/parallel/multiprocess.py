@@ -229,6 +229,26 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
                     np.abs(b - a) / (atol + rtol * np.abs(a)))))
 
             entry = {"error_in_tolerance_units": worst, "mesh": f"{px}x{py}"}
+
+            if path_name == "gspmd":
+                # Multi-host checkpointing: save_coupled_state gathers
+                # every leaf collectively (all processes participate) and
+                # process 0 alone writes the file — round-trip it against
+                # the gathered reference.
+                from ..io.coupled_restart import (
+                    load_coupled_state, save_coupled_state,
+                )
+
+                ckpt = os.path.join(
+                    os.path.dirname(args.out), "mp_checkpoint.chk")
+                save_coupled_state(ckpt, got, time=123.0)
+                if args.process_id == 0:
+                    loaded = load_coupled_state(ckpt, dtype=dtype)
+                    for x, y in zip(jax.tree.leaves(got_np),
+                                    jax.tree.leaves(loaded)):
+                        np.testing.assert_array_equal(
+                            np.asarray(y), np.asarray(x))
+                entry["checkpoint"] = "gathered-written-once-roundtripped"
             if args.bench_reps:
                 # Warm (compiled above); time whole-step round trips.
                 best = float("inf")

@@ -183,6 +183,19 @@ def fetch_state(tree):
     Copying through a jit breaks the aliasing; ``device_get`` batches the
     transfer.
     """
+    if jax.process_count() > 1:
+        # Multi-host: each process only addresses its own shards, so a
+        # plain device_get of a global array fails. process_allgather
+        # assembles the full global value on every process (a collective
+        # — ALL processes must call fetch_state together, which the
+        # checkpoint path does by construction: every host runs the
+        # same program).
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda leaf: multihost_utils.process_allgather(leaf, tiled=True),
+            tree,
+        )
     copied = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
     return jax.device_get(copied)
 

@@ -48,6 +48,9 @@ def test_two_process_run_matches_single_device():
             # assert_allclose already ran in-worker; the reported error is
             # in tolerance units (<= 1.0 means within rtol/atol budget).
             assert r["paths"][path]["error_in_tolerance_units"] <= 1.0
+        # Multi-host checkpointing: collectively gathered, written once
+        # by process 0, round-tripped bit-exactly (asserted in-worker).
+        assert "checkpoint" in r["paths"]["gspmd"]
 
 
 @pytest.mark.slow
