@@ -525,3 +525,32 @@ def test_ho_blocked_with_banded_inner_matches_single_device(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(x), rtol=1e-12, atol=1e-13
         )
+
+
+def test_ho_banded_a_weighted_matches_xla_path():
+    """Banded + A-weighted stresses: the 4 extra a_{k} const planes ride
+    the band slicing like every other const."""
+    import jax
+
+    n = 32
+    dtype = jnp.float64
+    mesh = RectMesh(nx=n, ny=n, dx=8e3, dy=8e3)
+    params = MEVPParams(a_weighted_stress=True)
+    full = lambda v: jnp.full((n, n), v, dtype)
+    const = lambda v: HOField(v=full(v), b=full(v), l=full(v), c=full(v))
+    df = HODynamicsForcing(
+        u_atm=const(10.0), v_atm=const(3.0),
+        u_ocean=const(0.02), v_ocean=const(0.0),
+    )
+    h = full(2.0)
+    a = jnp.clip(
+        0.9 + 0.1 * jnp.sin(jnp.arange(n)[:, None] * 0.7)
+        * jnp.cos(jnp.arange(n)[None, :] * 0.3), 0.0, 1.0
+    ).astype(dtype)
+    state = HOVelocityState.zeros(n, n, dtype)
+    ref = MEVPSolverHO(mesh, params, backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 12)
+    sol = MEVPSolverHO(mesh, params, backend="banded", band=(16, 4))
+    got = sol.step(state, h, a, df, sol.boundary_mask(dtype), 600.0, 12)
+    for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=0)
