@@ -11,6 +11,9 @@ section:
     checkpoint_pattern = coupled.{step}.chk
     diagnostics_file =              # optional HDF5 time-series output
     diagnostics_period = 0
+    health_period = 0               # steps between NaN/Inf state probes
+    on_nonfinite = abort            # abort | retry-halved (one dt/2
+                                    # replay of the failed segment)
 
     [dynamics]
     nx = 256
@@ -124,6 +127,12 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         checkpoint_pattern = get("model.checkpoint_pattern", "coupled.{step}.chk")
         diag_file = get("model.diagnostics_file", "")
         diag_period = int(get("model.diagnostics_period", 0))
+        # Failure detection (runtime/health.py; the reference has none —
+        # SURVEY §5): probe the state for NaN/Inf every N steps; on
+        # failure either abort (writing last-good + post-mortem
+        # checkpoints) or replay the failed segment once at dt/2.
+        health_period = int(get("model.health_period", 0))
+        on_nonfinite = str(get("model.on_nonfinite", "abort"))
 
         nx = int(get("dynamics.nx", 256))
         ny = int(get("dynamics.ny", 256))
@@ -301,6 +310,8 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
     diag = DiagnosticWriter(diag_file) if diag_file and diag_period else None
     from concurrent.futures import ThreadPoolExecutor
 
+    from .health import HealthMonitor, NonFiniteStateError
+
     # One background writer: periodic checkpoints overlap with stepping
     # (single worker preserves write order; the final checkpoint joins).
     ckpt_pool = ThreadPoolExecutor(max_workers=1)
@@ -308,9 +319,34 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
     n_steps = int(round((stop - start) / dt)) if dt else 0
     Logged.info(f"Coupled run: {n_steps} steps of {dt} s on {nx}x{ny} dG{degree}")
 
+    mon = None
+    final_time = stop
+    if health_period > 0:
+        if on_nonfinite == "retry-halved" and pipeline is not None:
+            # The native cyclone pipeline STREAMS fields (one set per
+            # call at a fixed dt); a rollback cannot rewind it and
+            # half-steps would desync its clock, so detection stays on
+            # but recovery degrades to abort.
+            Logged.warning(
+                "health: retry-halved is unavailable with the streaming "
+                "forcing pipeline; falling back to on_nonfinite=abort"
+            )
+            on_nonfinite = "abort"
+        mon = HealthMonitor(health_period, on_nonfinite)
+
     try:
         with main_timer.scope("run"):
-            for step in range(1, n_steps + 1):
+            if mon is not None:
+                mon.record_good(0, start, state)
+            # step counts completed FULL-dt steps; during a halved-dt
+            # recovery segment (mon.recovering) each loop iteration is a
+            # half step and `halves` tracks the intra-step position.
+            step = 0
+            halves = 0
+            while step < n_steps:
+                recovering = mon is not None and mon.recovering
+                dt_cur = dt / 2 if recovering else dt
+                t_now = start + step * dt + halves * (dt / 2)
                 if pipeline is not None:
                     with main_timer.scope("forcing"):
                         fields = pipeline.next_fields()
@@ -322,21 +358,41 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                         )
                 elif provider is not None:
                     with main_timer.scope("forcing"):
-                        t_now = start + (step - 1) * dt
                         dyn_forcing = provider.dynamics_forcing(t_now, nx, ny)
                         phys_forcing = provider.thermo_forcing(t_now, nx, ny)
                 with main_timer.scope("step"):
                     if sharded_step is not None:
                         state = sharded_step(
-                            state, phys_forcing, dyn_forcing, dt,
+                            state, phys_forcing, dyn_forcing, dt_cur,
                             do_thermo=do_thermo,
                         )
                     else:
                         state = model.step(
-                            state, phys_forcing, dyn_forcing, dt,
+                            state, phys_forcing, dyn_forcing, dt_cur,
                             do_thermo=do_thermo,
                         )
-                if checkpoint_period and step % checkpoint_period == 0:
+                if recovering:
+                    halves += 1
+                    if halves == 2:
+                        halves = 0
+                        step += 1
+                else:
+                    step += 1
+                if mon is not None:
+                    t_next = start + step * dt + halves * (dt / 2)
+                    with main_timer.scope("health"):
+                        action = mon.after_step(step, t_next, state)
+                    if action == "rollback":
+                        step, _t_rb, state = mon.rollback_target()
+                        halves = 0
+                        continue
+                if halves:
+                    continue  # mid-recovery half boundary: no cadence work
+                in_recovery = mon is not None and mon.recovering
+                if (
+                    checkpoint_period and step % checkpoint_period == 0
+                    and not in_recovery
+                ):
                     with main_timer.scope("checkpoint"):
                         # Async: JAX arrays are immutable, so the worker
                         # thread fetches + writes while stepping
@@ -352,13 +408,27 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                             checkpoint_pattern.format(step=step), state,
                             start + step * dt,
                         )
-                if diag is not None and step % diag_period == 0:
+                if diag is not None and step % diag_period == 0 and not in_recovery:
                     with main_timer.scope("diagnostics"):
                         diag.write(start + step * dt, {
                             "hice": state.hice[0], "cice": state.cice[0],
                             "hsnow": state.hsnow[0], "sst": state.sst,
                             "sss": state.sss,
                         })
+    except NonFiniteStateError as err:
+        # Post-mortem artifacts: the poisoned state for inspection, and
+        # — via the finally block's coupled_restart.chk — the last GOOD
+        # state so a resume starts from something usable.
+        Logged.error(f"health: {err}")
+        with main_timer.scope("post-mortem"):
+            save_coupled_state("coupled_failed.post_mortem.chk", state, err.t)
+            if err.last_good is not None:
+                good_step, final_time, state = err.last_good
+                Logged.error(
+                    "health: coupled_restart.chk will hold the last "
+                    f"healthy state (step {good_step}, t={final_time})"
+                )
+        raise
     finally:
         if diag is not None:
             diag.close()
@@ -375,7 +445,7 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                     pending_ckpt.result()
                 except Exception as err:
                     Logged.error(f"async periodic checkpoint failed: {err}")
-            save_coupled_state("coupled_restart.chk", state, time=stop)
+            save_coupled_state("coupled_restart.chk", state, time=final_time)
         ckpt_pool.shutdown(wait=True)
 
     print(main_timer.report(), file=sys.stderr)

@@ -308,3 +308,93 @@ def test_coupled_cli_periodic_x_override(tmp_path, monkeypatch):
     assert not np.allclose(
         np.asarray(a.velocity.u), np.asarray(b.velocity.u)
     )
+
+
+def test_coupled_cli_health_abort_writes_post_mortem(tmp_path, monkeypatch):
+    """Failure detection (SURVEY §5 — absent in the reference): a NaN
+    blowup mid-run aborts loudly, leaving a poisoned post-mortem
+    checkpoint AND a resumable last-good coupled_restart.chk."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.runtime.health import NonFiniteStateError
+
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(
+        tmp_path, extra="[Modules]\n"  # keep default dynamics
+    )
+    with open(cfg, "a") as f:
+        f.write("")
+    # health keys ride the [model] section.
+    cfg2 = tmp_path / "health.cfg"
+    cfg2.write_text("[model]\nhealth_period = 1\n")
+
+    orig_step = CoupledModel.step
+    calls = {"n": 0}
+
+    def poisoned_step(self, state, phys, dyn, dt, **kw):
+        out = orig_step(self, state, phys, dyn, dt, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:  # blow up on the second model step
+            out = dataclasses.replace(out, hice=out.hice * jnp.nan)
+        return out
+
+    monkeypatch.setattr(CoupledModel, "step", poisoned_step)
+    with pytest.raises(NonFiniteStateError):
+        run_coupled(["prog", "--config-file", cfg, "--config-file", str(cfg2)])
+
+    assert os.path.exists("coupled_failed.post_mortem.chk")
+    bad = load_coupled_state("coupled_failed.post_mortem.chk")
+    assert not np.all(np.isfinite(np.asarray(bad.hice)))
+    # The resume artifact holds the LAST GOOD state and its time.
+    good = load_coupled_state("coupled_restart.chk")
+    assert np.all(np.isfinite(np.asarray(good.hice)))
+    assert load_time("coupled_restart.chk") == 600.0
+
+
+def test_coupled_cli_health_retry_halved_recovers(tmp_path, monkeypatch):
+    """retry-halved: a transient instability at full dt is replayed at
+    dt/2 and the run completes with an unbroken diagnostic series."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(tmp_path)
+    cfg2 = tmp_path / "health.cfg"
+    cfg2.write_text(
+        "[model]\nhealth_period = 1\non_nonfinite = retry-halved\n"
+    )
+
+    orig_step = CoupledModel.step
+    counts = {"full": 0, "half": 0}
+
+    def transiently_unstable_step(self, state, phys, dyn, dt, **kw):
+        out = orig_step(self, state, phys, dyn, dt, **kw)
+        if dt == 600.0:
+            counts["full"] += 1
+            if counts["full"] == 2:  # only the 2nd full-dt step blows up
+                out = dataclasses.replace(out, hice=out.hice * jnp.nan)
+        else:
+            assert dt == 300.0
+            counts["half"] += 1
+        return out
+
+    monkeypatch.setattr(CoupledModel, "step", transiently_unstable_step)
+    rc = run_coupled(
+        ["prog", "--config-file", cfg, "--config-file", str(cfg2)]
+    )
+    assert rc == 0
+    # The failed step was replayed as exactly two half steps.
+    assert counts["half"] == 2
+    assert counts["full"] == 3  # steps 1, 2(poisoned), 3
+    # Cadence survives recovery: full diagnostic series, all finite.
+    diag = read_diagnostics("diag.h5")
+    assert diag["time"].tolist() == [600.0, 1200.0, 1800.0]
+    assert np.all(np.isfinite(diag["hice"]))
+    assert os.path.exists("chk.2.chk")
+    assert load_time("coupled_restart.chk") == 1800.0
