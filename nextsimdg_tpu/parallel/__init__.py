@@ -8,6 +8,6 @@ and mEVP operators into neighbor collective-permutes over ICI automatically.
 Multi-host runs extend the same mesh over DCN via ``jax.distributed``.
 """
 
-from .sharding import SpatialPartition, make_spatial_mesh
+from .sharding import SpatialPartition, make_spatial_mesh, pick_mesh_shape
 
-__all__ = ["SpatialPartition", "make_spatial_mesh"]
+__all__ = ["SpatialPartition", "make_spatial_mesh", "pick_mesh_shape"]

@@ -221,7 +221,10 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
                 tuple(int(s) for s in shape_raw.lower().split("x"))
                 if shape_raw else None
             )
-            device_mesh = make_spatial_mesh(shape)
+            # Unset mesh_shape: factorize the devices with the measured
+            # aspect-ratio cost model (pick_mesh_shape) — wide local
+            # lane extents degrade the tiled kernels' configs.
+            device_mesh = make_spatial_mesh(shape, grid_shape=(nx, ny))
             partition = SpatialPartition(device_mesh)
         if par_mode == "shardmap":
             from ..parallel.shardmap import build_sharded_coupled_model
