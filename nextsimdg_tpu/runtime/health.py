@@ -54,21 +54,34 @@ class NonFiniteStateError(RuntimeError):
         self.last_good = last_good
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_all_finite():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def all_finite(leaves):
+        flags = [jnp.isfinite(leaf).all() for leaf in leaves]
+        return functools.reduce(jnp.logical_and, flags)
+
+    return all_finite
+
+
 def finite_probe(state: Any) -> bool:
     """True iff every leaf of ``state`` is everywhere finite.
 
-    One fused reduction; works on replicated, GSPMD-sharded and
-    shard_map-produced global arrays alike (``isfinite(...).all()``
-    lowers to a sharded reduce + scalar).
+    One fused JITTED reduction; works on replicated, GSPMD-sharded and
+    shard_map-produced global arrays alike, including multi-process
+    (pod) global arrays whose shards are not all addressable — eager
+    ops would raise there, but a jitted reduce lowers to a sharded
+    collective and returns a replicated scalar on every process.
     """
     import jax
-    import jax.numpy as jnp
 
     leaves = [x for x in jax.tree_util.tree_leaves(state) if hasattr(x, "dtype")]
     if not leaves:
         return True
-    flags = [jnp.isfinite(leaf).all() for leaf in leaves]
-    return bool(functools.reduce(lambda a, b: jnp.logical_and(a, b), flags))
+    return bool(_jitted_all_finite()(leaves))
 
 
 class HealthMonitor:

@@ -126,3 +126,54 @@ def test_finite_probe_is_cheap_scalar_fetch():
     assert not finite_probe(
         ToyState(big.a, big.b.at[100, 200].set(np.inf))
     )
+
+
+def test_health_abort_in_shardmap_mode(tmp_path, monkeypatch):
+    """The probe runs jitted over the sharded global state (the pod
+    situation: shards live on 8 mesh devices) and the post-mortem path
+    still writes one global checkpoint."""
+    import os
+
+    import nextsimdg_tpu.parallel.shardmap as sm
+    from nextsimdg_tpu.io.coupled_restart import load_coupled_state, load_time
+    from nextsimdg_tpu.runtime.coupled_main import run_coupled
+    from tests.test_coupled_main import write_cfg
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(
+        tmp_path,
+        extra=(
+            "[parallel]\nmode = shardmap\nmesh_shape = 4x2\n"
+            "mevp_backend = blocked-interpret\nmevp_block_halo = 4\n"
+        ),
+    )
+    cfg2 = tmp_path / "health.cfg"
+    cfg2.write_text("[model]\nhealth_period = 1\n")
+
+    orig_build = sm.build_sharded_coupled_model
+    calls = {"n": 0}
+
+    def poisoned_build(*a, **k):
+        model, step = orig_build(*a, **k)
+
+        def wrapped(state, pf, df, dt, **kw):
+            out = step(state, pf, df, dt, **kw)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                out = dataclasses.replace(out, hice=out.hice * jnp.nan)
+            return out
+
+        return model, wrapped
+
+    monkeypatch.setattr(sm, "build_sharded_coupled_model", poisoned_build)
+    with pytest.raises(NonFiniteStateError):
+        run_coupled(["prog", "--config-file", cfg, "--config-file", str(cfg2)])
+
+    assert os.path.exists("coupled_failed.post_mortem.chk")
+    good = load_coupled_state("coupled_restart.chk")
+    assert good.hice.shape == (3, 16, 16)  # full GLOBAL arrays, one file
+    assert np.all(np.isfinite(np.asarray(good.hice)))
+    assert load_time("coupled_restart.chk") == 600.0
