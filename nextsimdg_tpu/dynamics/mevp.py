@@ -76,6 +76,25 @@ class MEVPParams:
     #: 2000-step MIZ velocities in the unweighted run's noise band
     #: (0.01 -> 1.2e3 m/s spikes, 0.05 -> 3.4, 0.15 -> 0.96).
     a_dyn_min: float = 5e-2
+    #: Adaptive stabilization (the aEVP idea, Kimmritz/Danilov/Losch
+    #: 2016): per-node alpha = beta = max(alpha_min,
+    #: c_stab sqrt(zeta dt / (m A))) recomputed every subcycle instead
+    #: of one global constant. The stability bound of the EVP
+    #: pseudo-time iteration scales with sqrt(zeta dt / (m A)), so a
+    #: fixed alpha must be tuned for the STIFFEST node of a run (fine
+    #: cells, thin ice, strong gradients) and over-relaxes everywhere
+    #: else; the adaptive form puts each node at its own bound —
+    #: uniform-stability on graded meshes without retuning. Rides every
+    #: backend (the Pallas kernels trace the same subcycle_body; alpha
+    #: becomes an in-register plane, no extra const planes or VMEM).
+    adaptive_alpha: bool = False
+    alpha_min: float = 150.0  #: floor of the adaptive alpha/beta
+    #: Proportionality of the adaptive alpha/beta. The EVP pseudo-time
+    #: iteration is stable for alpha*beta > zeta dt pi^2 / (m A) (the
+    #: bound behind the fixed alpha=beta=1500 default, cf. the VP
+    #: convergence test), i.e. alpha = beta > pi sqrt(zeta dt/(m A));
+    #: the default 2 pi sits at twice the bound.
+    c_stab: float = 6.2832  #: ~2 pi
 
 
 @_pytree
@@ -793,16 +812,32 @@ class MEVPSolver:
             # metric planes do.
             c_w = c_w * consts["a_node"]
         denom_rheo = delta + p.delta_min
-        denom_drag = 1.0 + beta + dt_m * c_w
-        inv_both = 1.0 / (denom_rheo * denom_drag)
-        inv_denom = inv_both * denom_drag
-        inv_drag = active * (inv_both * denom_rheo)
-        zeta = 0.5 * strength * inv_denom
+        if p.adaptive_alpha:
+            # aEVP-style per-node stabilization (see MEVPParams): alpha
+            # depends on zeta, so the rheology divide cannot share the
+            # drag divide — two divides + one sqrt extra per subcycle.
+            inv_denom = 1.0 / denom_rheo
+            zeta = 0.5 * strength * inv_denom
+            if "inv_w" in consts:
+                inv_area = consts["inv_w"]
+            else:
+                inv_area = 1.0 / (self.mesh.dx * self.mesh.dy)
+            alpha = jnp.maximum(
+                p.alpha_min, p.c_stab * jnp.sqrt(zeta * dt_m * inv_area)
+            )
+            beta = alpha
+            inv_drag = active / (1.0 + beta + dt_m * c_w)
+        else:
+            denom_drag = 1.0 + beta + dt_m * c_w
+            inv_both = 1.0 / (denom_rheo * denom_drag)
+            inv_denom = inv_both * denom_drag
+            inv_drag = active * (inv_both * denom_rheo)
+            zeta = 0.5 * strength * inv_denom
         eta = zeta * (1.0 / e2)
         p_rep = strength * delta * inv_denom
 
         # 2. VP stress and mEVP alpha-relaxation (1/alpha is a compile-time
-        # constant multiply).
+        # constant multiply; a per-node plane in the adaptive form).
         inv_alpha = 1.0 / alpha
         div = e11 + e22
         s11_vp = 2.0 * eta * e11 + (zeta - eta) * div - 0.5 * p_rep

@@ -249,6 +249,15 @@ class MEVPSolverHO:
         one ghost ring, so the owned interior stays exactly equal to the
         per-subcycle-exchange result. 'auto' under shard_map selects
         'blocked' on TPU for uniform meshes."""
+        if params.adaptive_alpha:
+            # The adaptive alpha/beta (MEVPParams.adaptive_alpha) needs a
+            # consistent element-level alpha (dG1 stress relaxation at
+            # Gauss points) AND node-class-level beta planes — not yet
+            # designed for the HO discretization. The CG1 solver
+            # supports it on every backend.
+            raise NotImplementedError(
+                "adaptive_alpha is implemented for the CG1 solver only"
+            )
         self.mesh = mesh
         self.params = params
         self.backend = backend

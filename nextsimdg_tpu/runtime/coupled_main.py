@@ -37,6 +37,11 @@ section:
                                     # 'auto' = on for full 360-degree
                                     # spherical rings, off otherwise
     land_mask =                     # '' | synthetic | <mask.npy> (1=ocean)
+    adaptive_alpha = false          # aEVP-style per-node alpha = beta =
+                                    # max(alpha_min, c_stab sqrt(zeta dt
+                                    # / (m A))) (CG1 solver)
+    alpha_min = 150.0
+    c_stab = 6.2832                 # ~2 pi = twice the stability bound
 
 plus ``model.nlayers`` (ice temperature layers: 1 for ThermoIce0, 3 for
 the Winton scheme selected via ``[Modules] Nextsim::IThermodynamics =
@@ -190,10 +195,18 @@ def run_coupled(argv: Optional[Sequence[str]] = None) -> int:
         # MEVPParams.a_weighted_stress) + its MIZ pinning threshold.
         a_weighted = bool(get("dynamics.a_weighted_stress", False))
         a_dyn_min = float(get("dynamics.a_dyn_min", 5e-2))
+        # Adaptive aEVP-style stabilization (MEVPParams.adaptive_alpha;
+        # CG1 solver, every backend): per-node alpha=beta at the local
+        # stability bound instead of one worst-case constant.
+        adaptive_alpha = bool(get("dynamics.adaptive_alpha", False))
+        alpha_min = float(get("dynamics.alpha_min", 150.0))
+        c_stab = float(get("dynamics.c_stab", 6.2832))
         model_kwargs = dict(
             degree=degree,
             mevp_params=MEVPParams(
-                a_weighted_stress=a_weighted, a_dyn_min=a_dyn_min
+                a_weighted_stress=a_weighted, a_dyn_min=a_dyn_min,
+                adaptive_alpha=adaptive_alpha, alpha_min=alpha_min,
+                c_stab=c_stab,
             ),
             n_subcycles=subcycles, transport_substeps=transport_substeps,
             auto_substeps=auto_substeps, tvb_m=tvb_m,

@@ -398,3 +398,32 @@ def test_coupled_cli_health_retry_halved_recovers(tmp_path, monkeypatch):
     assert np.all(np.isfinite(diag["hice"]))
     assert os.path.exists("chk.2.chk")
     assert load_time("coupled_restart.chk") == 1800.0
+
+
+def test_coupled_cli_adaptive_alpha(tmp_path, monkeypatch):
+    """dynamics.adaptive_alpha switches the CG1 solver to aEVP-style
+    per-node relaxation through the CLI; the run completes finite and
+    differs from the fixed-alpha run (it is much closer to the VP
+    fixed point at the same subcycle budget)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = write_cfg(tmp_path)
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+    shutil.move("coupled_restart.chk", "fixed.chk")
+
+    from nextsimdg_tpu.config import Configurator
+    from nextsimdg_tpu.modules import ModuleRegistry
+
+    Configurator.clear()
+    ModuleRegistry.get_loader().reset()
+    cfg = write_cfg(tmp_path, extra="adaptive_alpha = true\n")
+    assert run_coupled(["prog", "--config-file", cfg]) == 0
+
+    a = load_coupled_state("fixed.chk")
+    b = load_coupled_state("coupled_restart.chk")
+    ua, ub = np.asarray(a.velocity.u), np.asarray(b.velocity.u)
+    assert np.all(np.isfinite(ub))
+    assert not np.allclose(ua, ub)
+    # Physically sane drift (the adaptive run converges MUCH further
+    # toward VP in the config's 10 subcycles, so it is the larger one:
+    # observed 0.018 m/s vs the under-relaxed fixed run's 0.002).
+    assert np.abs(ub).max() < 1.0

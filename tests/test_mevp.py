@@ -161,3 +161,110 @@ def test_pick_block_halo_alignment():
     assert pick_block_halo(2048, 2048) == 64
     assert (1024 + 2 * 64) % 128 == 0
     assert pick_block_halo(16, 8) <= 8       # capped by the block
+
+
+def test_adaptive_alpha_equivalent_to_fixed_when_clamped():
+    """c_stab=0 collapses the adaptive form onto alpha=beta=alpha_min;
+    only the (rewritten) division order differs from the fixed path."""
+    mesh, h, a, forcing = _box_setup(n=16)
+    mask_params = dict(use_coriolis=False)
+    fixed = MEVPSolver(mesh, MEVPParams(**mask_params))
+    adapt = MEVPSolver(
+        mesh,
+        MEVPParams(
+            **mask_params, adaptive_alpha=True, alpha_min=1500.0, c_stab=0.0
+        ),
+    )
+    s0 = VelocityState.zeros(16, 16, dtype=jnp.float64)
+    m = fixed.boundary_mask(dtype=jnp.float64)
+    sf = sa = s0
+    for _ in range(3):
+        sf = fixed.step(sf, h, a, forcing, m, dt=600.0, n_subcycles=300)
+        sa = adapt.step(sa, h, a, forcing, m, dt=600.0, n_subcycles=300)
+    np.testing.assert_allclose(
+        np.asarray(sa.u), np.asarray(sf.u), rtol=0, atol=1e-14
+    )
+
+
+def test_adaptive_alpha_reaches_the_same_vp_fixed_point():
+    """Adaptive alpha=beta solves the SAME VP problem: its steady state
+    matches a deeply-converged fixed-alpha run to ~1e-10 relative, and
+    it gets there orders of magnitude faster at equal subcycle budget
+    (each node relaxes at its own stability bound instead of the global
+    worst case)."""
+    mesh, h, a, forcing = _box_setup(n=16)
+    m = MEVPSolver(mesh).boundary_mask(dtype=jnp.float64)
+
+    def converge(params, steps, subs):
+        s = MEVPSolver(mesh, params)
+        st = VelocityState.zeros(16, 16, dtype=jnp.float64)
+        deltas = []
+        for _ in range(steps):
+            nxt = s.step(st, h, a, forcing, m, dt=600.0, n_subcycles=subs)
+            deltas.append(float(jnp.max(jnp.abs(nxt.u - st.u))))
+            st = nxt
+        return st, deltas
+
+    adapt, d_adapt = converge(
+        MEVPParams(use_coriolis=False, adaptive_alpha=True), 12, 1000
+    )
+    # Reference: small fixed alpha + a 5x subcycle budget converges too.
+    fixed, _ = converge(
+        MEVPParams(use_coriolis=False, alpha=200.0, beta=200.0), 30, 2000
+    )
+    den = float(jnp.max(jnp.abs(fixed.u)))
+    rel = float(jnp.max(jnp.abs(adapt.u - fixed.u))) / den
+    assert rel < 1e-8, rel
+    # Convergence at equal budget: the fixed default (1500) stalls near
+    # 6e-4 after 12x1000 subcycles (see the VP convergence test); the
+    # adaptive run must be deep into the fixed point.
+    assert d_adapt[-1] < 1e-10, d_adapt
+
+
+def test_adaptive_alpha_free_drift_unchanged():
+    """With zero ice strength zeta=0, so the adaptive alpha sits at its
+    floor and free drift still reaches the analytic drag balance."""
+    params = MEVPParams(
+        p_star=0.0, use_coriolis=False, adaptive_alpha=True, alpha_min=40.0
+    )
+    mesh, h, a, forcing = _box_setup()
+    solver = MEVPSolver(mesh, params)
+    state = VelocityState.zeros(mesh.nx, mesh.ny, dtype=jnp.float64)
+    mask = solver.boundary_mask(dtype=jnp.float64)
+    for _ in range(40):
+        state = solver.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=60)
+    expected = np.sqrt(
+        (params.rho_atm * params.cd_atm) / (params.rho_ocean * params.cd_ocean)
+    ) * 10.0
+    np.testing.assert_allclose(
+        np.asarray(state.u)[8:-8, 8:-8], expected, rtol=2e-2
+    )
+
+
+def test_adaptive_alpha_graded_mesh_stable_and_converges():
+    """On a strongly graded mesh (1->32 km cells) the adaptive form is
+    stable from a low floor and converges; no global retuning needed."""
+    n = 32
+    dxs = 1e3 + 31e3 * 0.5 * (
+        1 - np.cos(2 * np.pi * (np.arange(n) + 0.5) / n)
+    )
+    dxs = np.roll(dxs, n // 2)  # finest cells mid-domain
+    mesh = RectMesh(nx=n, ny=n, dx=dxs, dy=dxs.copy())
+    h = jnp.full((n, n), 2.0)
+    a = jnp.full((n, n), 1.0)
+    forcing = DynamicsForcing(
+        u_atm=jnp.full((n, n), 15.0), v_atm=jnp.full((n, n), 5.0),
+        u_ocean=jnp.zeros((n, n)), v_ocean=jnp.zeros((n, n)),
+    )
+    solver = MEVPSolver(
+        mesh, MEVPParams(use_coriolis=False, adaptive_alpha=True, alpha_min=25.0)
+    )
+    st = VelocityState.zeros(n, n, dtype=jnp.float64)
+    m = solver.boundary_mask(dtype=jnp.float64)
+    deltas = []
+    for _ in range(12):
+        nxt = solver.step(st, h, a, forcing, m, dt=600.0, n_subcycles=120)
+        deltas.append(float(jnp.max(jnp.abs(nxt.u - st.u))))
+        st = nxt
+    assert np.all(np.isfinite(np.asarray(st.u)))
+    assert deltas[-1] < 0.05 * max(deltas), deltas

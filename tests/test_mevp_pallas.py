@@ -490,3 +490,35 @@ def test_transport_banded_config_gates_on_full_width():
     # Small grids keep the staged/fused paths entirely.
     small = CoupledModel(RectMesh(nx=1024, ny=1024, dx=4e3, dy=4e3), degree=1)
     assert transport_banded_config(small) is None
+
+
+def test_adaptive_alpha_rides_the_kernels():
+    """adaptive_alpha traces through the shared subcycle_body, so the
+    fused AND tiled kernels reproduce the XLA path with the per-node
+    alpha plane computed in-register (no new const planes)."""
+    n = 16
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    h = jnp.full((n, n), 2.0, dtype=jnp.float32)
+    a = jnp.full((n, n), 0.9, dtype=jnp.float32)
+    nodes = (n, n)
+    forcing = DynamicsForcing(
+        u_atm=jnp.full(nodes, 8.0, jnp.float32),
+        v_atm=jnp.full(nodes, 2.0, jnp.float32),
+        u_ocean=jnp.full(nodes, 0.02, jnp.float32),
+        v_ocean=jnp.zeros(nodes, jnp.float32),
+    )
+    params = MEVPParams(adaptive_alpha=True)
+    xla = MEVPSolver(mesh, params, backend="xla")
+    mask = xla.boundary_mask(dtype=jnp.float32)
+    state = VelocityState.zeros(n, n, dtype=jnp.float32)
+    out_xla = xla.step(state, h, a, forcing, mask, dt=600.0, n_subcycles=10)
+    for backend in ("pallas-interpret", "pallas-tiled-interpret"):
+        out_k = MEVPSolver(mesh, params, backend=backend).step(
+            state, h, a, forcing, mask, dt=600.0, n_subcycles=10
+        )
+        for name in ("u", "v", "s11", "s22", "s12"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_k, name)),
+                np.asarray(getattr(out_xla, name)),
+                rtol=1e-5, atol=1e-6, err_msg=f"{backend}:{name}",
+            )
