@@ -161,6 +161,37 @@ def bench_box(n=256, n_subcycles=100) -> dict:
     }
 
 
+def bench_box_adaptive(n=256, n_subcycles=100) -> dict:
+    """The box with aEVP-style adaptive alpha/beta (round 5)."""
+    import jax.numpy as jnp
+
+    from nextsimdg_tpu.coupled import CoupledModel
+    from nextsimdg_tpu.dynamics import MEVPParams, RectMesh
+    from nextsimdg_tpu.dynamics.mevp import DynamicsForcing
+    from nextsimdg_tpu.state import Forcing
+
+    dtype = jnp.float32
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    model = CoupledModel(
+        mesh, degree=1, mevp_params=MEVPParams(adaptive_alpha=True),
+        n_subcycles=n_subcycles,
+    )
+    state = model.initial_state(hice0=1.0, cice0=0.9, hsnow0=0.05, dtype=dtype)
+    full = lambda v: jnp.full((n, n), v, dtype)
+    pf = Forcing(tair=full(-10.0), dew2m=full(-12.0), pair=full(1e5), sw_in=full(10.0),
+                 lw_in=full(250.0), mld=full(10.0), snowfall=full(1e-4), wind=full(8.0))
+    df = DynamicsForcing(u_atm=full(8.0), v_atm=full(2.0), u_ocean=full(0.02),
+                         v_ocean=full(0.0))
+    chunk = 128
+    run = lambda s: model.run(s, pf, df, 600.0, chunk, do_thermo=False)
+    best = _timed_chunk(run, state, chunk)
+    return {
+        "metric": f"adaptive-alpha mEVP box element updates/s ({n}x{n}, {n_subcycles} subcycles, f32)",
+        "value": float(f"{n * n * chunk / best:.4g}"),
+        "unit": "elements/s",
+    }
+
+
 def _synthetic_coastline(n: int) -> np.ndarray:
     """A pan-Arctic-style ocean mask (shared with the CLI's
     ``dynamics.land_mask = synthetic``; see dynamics/landmask.py)."""
@@ -412,6 +443,10 @@ CONFIGS = {
     "dev1": bench_dev1,
     "advection": bench_advection,
     "box": bench_box,
+    # Adaptive aEVP-style stabilization on the same box (round 5):
+    # measured 1.063x fused-kernel cost for orders-of-magnitude better
+    # VP convergence at equal subcycle budget (docs/performance.md).
+    "box_adaptive": lambda: bench_box_adaptive(),
     "coupled_1m": bench_coupled_1m,
     "coupled_1m_mask": lambda: bench_coupled_1m(land_mask=True),
     "coupled_1m_spherical": lambda: bench_coupled_1m(
