@@ -803,3 +803,59 @@ def test_shardmap_tiled_transport_periodic_matches_staged():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
         )
+
+
+def test_adaptive_alpha_blocked_matches_per_subcycle():
+    """adaptive_alpha adds NO stencil reach (alpha is computed from the
+    local zeta), so the blocked ghost-zone invalidation argument holds
+    unchanged: backend='blocked' with the adaptive form must reproduce
+    the per-subcycle-halo single-device result."""
+    from jax.sharding import PartitionSpec as P
+
+    from nextsimdg_tpu.dynamics.mevp import MEVPParams, MEVPSolver, VelocityState
+
+    n = 32
+    mesh = RectMesh(nx=n, ny=n, dx=512e3 / n, dy=512e3 / n)
+    dtype = jnp.float64
+    full = lambda v: jnp.full((n, n), v, dtype)
+    h, a = full(2.0), full(0.95)
+    df = DynamicsForcing(
+        u_atm=full(10.0), v_atm=full(3.0), u_ocean=full(0.02), v_ocean=full(0.0)
+    )
+    state = VelocityState.zeros(n, n, dtype)
+    params = MEVPParams(adaptive_alpha=True)
+
+    ref = MEVPSolver(mesh, params, backend="xla")
+    expected = ref.step(state, h, a, df, ref.boundary_mask(dtype), 600.0, 20)
+
+    device_mesh = make_spatial_mesh((4, 2))
+    px, py = device_mesh.devices.shape
+    local = RectMesh(nx=n // px, ny=n // py, dx=mesh.dx, dy=mesh.dy)
+    spec = P("X", "Y")
+
+    for backend, halo in (("blocked", 4), ("blocked-interpret", 5)):
+        solver = MEVPSolver(
+            local, params, backend=backend, spmd=("X", "Y"), block_halo=halo
+        )
+
+        def step_local(s, hh, aa, d):
+            mask = solver.boundary_mask(dtype)
+            return solver.step(s, hh, aa, d, mask, 600.0, 20)
+
+        got = jax.jit(
+            jax.shard_map(
+                step_local,
+                mesh=device_mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: spec, state),
+                    spec, spec, jax.tree.map(lambda _: spec, df),
+                ),
+                out_specs=jax.tree.map(lambda _: spec, state),
+                check_vma=False,
+            )
+        )(state, h, a, df)
+        for x, y in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=1e-8, atol=1e-10,
+                err_msg=backend,
+            )
