@@ -833,7 +833,9 @@ def test_adaptive_alpha_blocked_matches_per_subcycle():
     local = RectMesh(nx=n // px, ny=n // py, dx=mesh.dx, dy=mesh.dy)
     spec = P("X", "Y")
 
-    for backend, halo in (("blocked", 4), ("blocked-interpret", 5)):
+    for backend, halo in (
+        ("blocked", 4), ("blocked-interpret", 5), ("rdma-interpret", 4)
+    ):
         solver = MEVPSolver(
             local, params, backend=backend, spmd=("X", "Y"), block_halo=halo
         )
