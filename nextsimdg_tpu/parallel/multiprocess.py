@@ -230,6 +230,16 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
 
             entry = {"error_in_tolerance_units": worst, "mesh": f"{px}x{py}"}
 
+            # Failure-detection probe on the PROCESS-SPANNING global
+            # state (the pod case the jitted reduction exists for:
+            # eager ops raise on non-addressable shards). Every process
+            # participates in the collective and gets the same bool.
+            from ..runtime.health import finite_probe
+
+            entry["finite_probe"] = bool(finite_probe(got))
+            poisoned = jax.tree.map(lambda x: x * jnp.nan, got)
+            entry["finite_probe_detects"] = not finite_probe(poisoned)
+
             if path_name == "gspmd":
                 # Multi-host checkpointing: save_coupled_state gathers
                 # every leaf collectively (all processes participate) and

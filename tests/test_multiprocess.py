@@ -45,6 +45,11 @@ def test_two_process_run_matches_single_device():
         assert r["process_count"] == 2
         assert r["global_devices"] == 4
         for path in paths:
+            # The jitted health probe ran on the process-spanning global
+            # state in-worker (the pod case): healthy detected healthy,
+            # a poisoned copy detected non-finite.
+            assert r["paths"][path]["finite_probe"] is True
+            assert r["paths"][path]["finite_probe_detects"] is True
             # assert_allclose already ran in-worker; the reported error is
             # in tolerance units (<= 1.0 means within rtol/atol budget).
             assert r["paths"][path]["error_in_tolerance_units"] <= 1.0
